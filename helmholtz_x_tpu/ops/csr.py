@@ -1,0 +1,145 @@
+"""Complex CSR sparse matrices as JAX arrays.
+
+Replaces the reference's PETSc ``aij``/``mpiaij`` matrices
+(reference: helmholtz_x/flame_matrices.py:166-181, acoustic_matrices.py:101-125)
+with a device-resident CSR whose values are (re, im) f64 pairs.
+
+SpMV runs as gather + segment_sum, which XLA fuses well on TPU; the row index
+array is precomputed so the hot path has static shapes only.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cplx import Z
+
+
+class CSR(NamedTuple):
+    """Square complex CSR matrix (static sparsity pattern).
+
+    A pure pytree of arrays — `n` is derived from indptr's (static) shape so
+    CSR passes through jit/shard_map without non-array leaves.
+    """
+
+    indptr: jnp.ndarray  # (n+1,) int32
+    indices: jnp.ndarray  # (nnz,) int32
+    rows: jnp.ndarray  # (nnz,) int32 — expanded row ids (precomputed)
+    data: Z  # (nnz,) complex pair
+
+    @property
+    def n(self) -> int:
+        return self.indptr.shape[0] - 1
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indices.shape[0])
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        return sp.csr_matrix(
+            (np.asarray(self.data.to_numpy()), np.asarray(self.indices), np.asarray(self.indptr)),
+            shape=(self.n, self.n),
+        )
+
+    def to_dense(self) -> Z:
+        dr = jnp.zeros((self.n, self.n)).at[self.rows, self.indices].add(self.data.re)
+        di = jnp.zeros((self.n, self.n)).at[self.rows, self.indices].add(self.data.im)
+        return Z(dr, di)
+
+
+def csr_from_scipy(mat) -> CSR:
+    import scipy.sparse as sp
+
+    mat = sp.csr_matrix(mat)
+    mat.sort_indices()
+    n = mat.shape[0]
+    indptr = np.asarray(mat.indptr, dtype=np.int32)
+    rows = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
+    data = np.asarray(mat.data)
+    return CSR(
+        indptr=jnp.asarray(indptr),
+        indices=jnp.asarray(mat.indices, dtype=jnp.int32),
+        rows=jnp.asarray(rows),
+        data=Z(jnp.asarray(data.real, jnp.float64), jnp.asarray(data.imag, jnp.float64)),
+    )
+
+
+def csr_from_coo(n: int, rows, cols, vals_re, vals_im) -> CSR:
+    """Build CSR from (possibly duplicated) COO triplets, summing duplicates.
+
+    Host-side (numpy) setup path — the assembly scatter happens once per mesh.
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    key = rows * n + cols
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    vr = np.asarray(vals_re, dtype=np.float64)[order]
+    vi = np.asarray(vals_im, dtype=np.float64)[order]
+    uniq, start = np.unique(key, return_index=True)
+    seg = np.zeros(len(key), dtype=np.int64)
+    seg[start] = 1
+    seg = np.cumsum(seg) - 1
+    vr_u = np.zeros(len(uniq))
+    vi_u = np.zeros(len(uniq))
+    np.add.at(vr_u, seg, vr)
+    np.add.at(vi_u, seg, vi)
+    out_rows = (uniq // n).astype(np.int32)
+    out_cols = (uniq % n).astype(np.int32)
+    counts = np.bincount(out_rows, minlength=n)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return CSR(
+        indptr=jnp.asarray(indptr),
+        indices=jnp.asarray(out_cols),
+        rows=jnp.asarray(out_rows),
+        data=Z(jnp.asarray(vr_u), jnp.asarray(vi_u)),
+    )
+
+
+def spmv(A: CSR, x: Z) -> Z:
+    """y = A x (complex CSR SpMV, jittable)."""
+    xr = x.re[A.indices]
+    xi = x.im[A.indices]
+    pr = A.data.re * xr - A.data.im * xi
+    pi = A.data.re * xi + A.data.im * xr
+    return Z(
+        jax.ops.segment_sum(pr, A.rows, num_segments=A.n),
+        jax.ops.segment_sum(pi, A.rows, num_segments=A.n),
+    )
+
+
+def spmv_H(A: CSR, x: Z) -> Z:
+    """y = A^H x (conjugate-transpose SpMV, scatter form)."""
+    xr = x.re[A.rows]
+    xi = x.im[A.rows]
+    # conj(data) * x scattered to column ids
+    pr = A.data.re * xr + A.data.im * xi
+    pi = A.data.re * xi - A.data.im * xr
+    return Z(
+        jax.ops.segment_sum(pr, A.indices, num_segments=A.n),
+        jax.ops.segment_sum(pi, A.indices, num_segments=A.n),
+    )
+
+
+def csr_scale(A: CSR, s) -> CSR:
+    from .cplx import zscale
+
+    return A._replace(data=zscale(A.data, s))
+
+
+def csr_add(A: CSR, B: CSR, alpha=1.0, beta=1.0) -> CSR:
+    """alpha*A + beta*B on a merged pattern (host-side, setup only)."""
+    sa = A.to_scipy() * alpha
+    sb = B.to_scipy() * beta
+    return csr_from_scipy(sa + sb)
+
+
+def csr_conj_transpose(A: CSR) -> CSR:
+    s = A.to_scipy()
+    return csr_from_scipy(s.conj().T.tocsr())

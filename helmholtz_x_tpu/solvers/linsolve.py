@@ -1,0 +1,129 @@
+"""Shifted-operator factorization with low-rank Woodbury correction.
+
+The shift-invert kernel of every solve in the framework.  For a shift sigma
+the passive part  P = A + sigma*B + sigma^2*C  is factored ONCE on device
+(dense QR of the real embedding — ops/dense.py); the flame operator
+D = s * L R^T enters through the exact Woodbury identity
+
+    (P - s L R^T)^{-1} b = y + W (I/s - R^T W)^{-1} (R^T y),   y = P^{-1} b,
+    W = P^{-1} L   (precomputed, k columns)
+
+so the whole fixed-point iteration runs on ONE factorization while the
+reference refactors A - D(omega_k) inside SLEPc every outer iteration
+(reference: helmholtz_x/eigensolvers.py:158-178).
+
+Conjugate-transpose solves (two-sided / adjoint paths) reuse the same factors:
+    (P - s L R^T)^H = P^H - conj(s) conj(R) conj(L)^T
+with W_H = P^{-H} conj(R).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cplx import Z, zarray
+from ..ops.csr import CSR
+from ..ops.dense import DenseFactor, dense_solve, dense_solve_H, factor_dense
+
+
+def csr_weighted_dense(terms) -> Z:
+    """Dense sum  sum_i coeff_i * M_i  of CSR matrices (device scatter-add).
+
+    terms: iterable of (complex_coeff, CSR or None).
+    """
+    terms = [(complex(c), m) for c, m in terms if m is not None and c != 0]
+    n = terms[0][1].n
+    dr = jnp.zeros((n, n))
+    di = jnp.zeros((n, n))
+    for c, m in terms:
+        if c.real != 0.0:
+            dr = dr.at[m.rows, m.indices].add(c.real * m.data.re)
+            di = di.at[m.rows, m.indices].add(c.real * m.data.im)
+        if c.imag != 0.0:
+            dr = dr.at[m.rows, m.indices].add(-c.imag * m.data.im)
+            di = di.at[m.rows, m.indices].add(c.imag * m.data.re)
+    return Z(dr, di)
+
+
+class Woodbury(NamedTuple):
+    """Device-side state of the rank-k correction (possibly k=0)."""
+
+    W: Z  # (n, k)  P^{-1} L
+    cap: Z  # (k, k)  (I/s - R^T W)^{-1}
+    R: Z  # (n, k)
+    Wh: Z  # (n, k)  P^{-H} conj(R)   (H-solve path; zero-width if unused)
+    caph: Z  # (k, k)
+    Lc: Z  # (n, k)  conj(L)
+
+
+class ShiftedFactor:
+    """Factorization of P(sigma) with a pluggable low-rank correction."""
+
+    def __init__(self, P: Z):
+        self.n = P.re.shape[0]
+        self.fac: DenseFactor = factor_dense(P)
+        self._wb: Optional[Woodbury] = None
+        self._L_np = None
+        self._R_np = None
+        self._W_np = None
+        self._Wh_np = None
+        self._G = None  # R^T W (k, k)
+        self._Gh = None  # conj(L)^T Wh
+
+    # -- plain P solves ----------------------------------------------------
+    def solve_P(self, b: Z) -> Z:
+        return dense_solve(self.fac, b)
+
+    def solve_P_H(self, b: Z) -> Z:
+        return dense_solve_H(self.fac, b)
+
+    # -- low-rank correction ----------------------------------------------
+    def set_lowrank_factors(self, L: np.ndarray, R: np.ndarray, two_sided: bool = False):
+        """Precompute W = P^{-1} L (and W_H) for factors L, R (n, k).
+
+        Done once per factorization; `set_scale` then updates the (cheap)
+        capacitance per outer nonlinear iteration.
+        """
+        self._L_np = np.asarray(L, dtype=np.complex128)
+        self._R_np = np.asarray(R, dtype=np.complex128)
+        W = self.solve_P(zarray(self._L_np))
+        self._W_np = W.to_numpy()
+        self._G = self._R_np.T @ self._W_np
+        if two_sided:
+            Wh = self.solve_P_H(zarray(np.conj(self._R_np)))
+            self._Wh_np = Wh.to_numpy()
+            self._Gh = np.conj(self._L_np).T @ self._Wh_np
+
+    def set_scale(self, s: complex) -> Woodbury:
+        """Build the device Woodbury state for D = s L R^T."""
+        k = self._L_np.shape[1] if self._L_np is not None else 0
+        n = self.n
+        if k == 0 or s == 0:
+            zk = zarray(np.zeros((n, 0), dtype=np.complex128))
+            zkk = zarray(np.zeros((0, 0), dtype=np.complex128))
+            self._wb = Woodbury(zk, zkk, zk, zk, zkk, zk)
+            return self._wb
+        cap = np.linalg.inv(np.eye(k) / s - self._G)
+        if self._Wh_np is not None:
+            caph = np.linalg.inv(np.eye(k) / np.conj(s) - self._Gh)
+            wh = zarray(self._Wh_np)
+            lc = zarray(np.conj(self._L_np))
+            caph_z = zarray(caph)
+        else:
+            wh = zarray(np.zeros((n, 0), dtype=np.complex128))
+            lc = zarray(np.zeros((n, 0), dtype=np.complex128))
+            caph_z = zarray(np.zeros((0, 0), dtype=np.complex128))
+        self._wb = Woodbury(
+            W=zarray(self._W_np), cap=zarray(cap), R=zarray(self._R_np),
+            Wh=wh, caph=caph_z, Lc=lc,
+        )
+        return self._wb
+
+    @property
+    def woodbury(self) -> Woodbury:
+        if self._wb is None:
+            return self.set_scale(0)
+        return self._wb
