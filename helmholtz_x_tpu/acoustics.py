@@ -27,7 +27,7 @@ from .fem.assembly import (
     assemble_stiffness_csq,
     facet_integral_p1,
 )
-from .fem.fields import Field, gamma_function, sound_speed_variable_gamma
+from .fem.fields import DGField, Field, gamma_function, sound_speed_variable_gamma
 from .mesh.core import Mesh, locate_dofs_on_facets
 from .ops.csr import CSR, csr_conj_transpose
 from .utils.logging import info
@@ -42,6 +42,7 @@ class AcousticMatrices:
         self.boundary_conditions = boundary_conditions
         self.degree = degree
 
+        self.dg0 = isinstance(parameter, DGField)
         if parameter.name == "temperature":
             self.T = parameter
             self.c = sound_speed_variable_gamma(mesh, parameter)
@@ -49,7 +50,8 @@ class AcousticMatrices:
             info("/\\ Temperature function is used for passive flame matrices.")
         else:
             self.c = parameter
-            self.gamma = Field(np.full(mesh.num_vertices, 1.4), "gamma")
+            ng = mesh.num_cells if self.dg0 else mesh.num_vertices
+            self.gamma = Field(np.full(ng, 1.4), "gamma")
             info("\\/ Speed of sound function is used for passive flame matrices.")
 
         dirichlet_dofs = []
@@ -65,7 +67,7 @@ class AcousticMatrices:
             if "Robin" in bc:
                 R = bc["Robin"]
                 Z = (1 + R) / (1 - R)
-                robin_contribs.append((tag, 1j / Z, self.c.values))
+                robin_contribs.append((tag, 1j / Z, self.c.values, self.dg0))
                 info(f"- Robin boundary on boundary {tag}")
             if "ChokedInlet" in bc:
                 mach = bc["ChokedInlet"]
@@ -73,7 +75,7 @@ class AcousticMatrices:
                 q = g * mach / (1 + (g - 1) * mach**2)
                 R = (1 - q) / (1 + q)
                 Z = (1 + R) / (1 - R)
-                robin_contribs.append((tag, 1j / Z, self.c.values))
+                robin_contribs.append((tag, 1j / Z, self.c.values, self.dg0))
                 info(f"- Choked inlet boundary on boundary {tag}")
             if "ChokedOutlet" in bc:
                 mach = bc["ChokedOutlet"]
@@ -81,7 +83,7 @@ class AcousticMatrices:
                 q = 0.5 * (g - 1) * mach
                 R = (1 - q) / (1 + q)
                 Z = (1 + R) / (1 - R)
-                robin_contribs.append((tag, 1j / Z, self.c.values))
+                robin_contribs.append((tag, 1j / Z, self.c.values, self.dg0))
                 info(f"- Choked outlet boundary on boundary {tag}")
 
         self.dirichlet_dofs = (
@@ -89,7 +91,8 @@ class AcousticMatrices:
         )
 
         info("- Passive matrices are assembling..")
-        self._A = assemble_stiffness_csq(mesh, self.c.values, self.dirichlet_dofs)
+        self._A = assemble_stiffness_csq(mesh, self.c.values, self.dirichlet_dofs,
+                                         dg0=self.dg0)
         info("- Matrix A is assembled.")
         self._B = assemble_boundary_mass(mesh, robin_contribs)
         self._B_adj = csr_conj_transpose(self._B) if self._B is not None else None

@@ -64,27 +64,52 @@ def assemble_mass(mesh: Mesh, dirichlet_dofs=None) -> CSR:
     return _scatter_matrix(mesh, elem, dirichlet_dofs)
 
 
-def assemble_stiffness_csq(mesh: Mesh, c_vals: np.ndarray, dirichlet_dofs=None) -> CSR:
-    """A = -int c^2 grad(phi_k).grad(phi_j) dx, c a P1 field
-    (reference: acoustic_matrices.py:101-105).  Exact: grads are constant and
-    int_K c^2 = |K| * c^T M2 c per element."""
+def assemble_stiffness_csq(mesh: Mesh, c_vals: np.ndarray, dirichlet_dofs=None,
+                           dg0: bool = False) -> CSR:
+    """A = -int c^2 grad(phi_k).grad(phi_j) dx, c a P1 field (or per-cell DG0
+    with ``dg0=True``) (reference: acoustic_matrices.py:101-105).  Exact:
+    grads are constant and int_K c^2 = |K| * c^T M2 c per element (P1) or
+    |K| c_K^2 (DG0)."""
     d = mesh.dim
     vol = mesh.cell_volumes()
     g = mesh.cell_grads()  # (nc, d+1, d)
-    m2 = _second_moment(d)
-    ce = c_vals[mesh.cells]  # (nc, d+1)
-    w2 = vol * np.einsum("ka,ab,kb->k", ce, m2, ce)  # int_K c^2
+    if dg0:
+        w2 = vol * np.asarray(c_vals) ** 2
+    else:
+        m2 = _second_moment(d)
+        ce = c_vals[mesh.cells]  # (nc, d+1)
+        w2 = vol * np.einsum("ka,ab,kb->k", ce, m2, ce)  # int_K c^2
     gg = np.einsum("kid,kjd->kij", g, g)
     elem = -w2[:, None, None] * gg
     return _scatter_matrix(mesh, elem, dirichlet_dofs)
 
 
+def facet_adjacent_cells(mesh: Mesh, facets: np.ndarray) -> np.ndarray:
+    """Cell id adjacent to each boundary facet (needed to evaluate DG0
+    coefficients on facet integrals, like dolfinx does for exterior facets)."""
+    d = mesh.dim
+    # enumerate cell faces (vertex subsets of size d)
+    import itertools
+
+    combos = list(itertools.combinations(range(d + 1), d))
+    face_map = {}
+    for combo in combos:
+        faces = np.sort(mesh.cells[:, combo], axis=1)
+        for ci, fv in enumerate(faces):
+            face_map.setdefault(tuple(fv), ci)
+    out = np.empty(len(facets), dtype=np.int64)
+    for i, f in enumerate(np.sort(facets, axis=1)):
+        out[i] = face_map[tuple(f)]
+    return out
+
+
 def assemble_boundary_mass(mesh: Mesh, contributions) -> CSR | None:
     """B = sum over (tag, coeff) of  coeff * int c phi_k phi_j ds(tag)
-    with c the P1 sound-speed field (reference: acoustic_matrices.py:68-97).
+    with c the P1 sound-speed field or a per-cell DG0 field
+    (reference: acoustic_matrices.py:68-97).
 
-    ``contributions``: list of (tag, complex_coeff, c_vals); the 1j/Z factor
-    goes into complex_coeff.
+    ``contributions``: list of (tag, complex_coeff, c_vals, dg0_flag);
+    the 1j/Z factor goes into complex_coeff.
     """
     if not contributions:
         return None
@@ -93,21 +118,29 @@ def assemble_boundary_mass(mesh: Mesh, contributions) -> CSR | None:
     vre, vim = [], []
     m = mesh.dim - 1
     m3 = _third_moment(m) if m > 0 else None
-    for tag, coeff, c_vals in contributions:
+    m2f = _second_moment(m) if m > 0 else None
+    for tag, coeff, c_vals, dg0 in contributions:
         facets = mesh.facets_with_tag(tag)
         if facets.shape[0] == 0:
             continue
         meas = mesh.facet_measures(facets)
-        cf = c_vals[facets]  # (nf, m+1)
+        if dg0:
+            cf = np.asarray(c_vals)[facet_adjacent_cells(mesh, facets)]  # (nf,)
+        else:
+            cf = c_vals[facets]  # (nf, m+1)
         if m == 0:
+            cfacet = cf if dg0 else cf[:, 0]
             # facet is a single vertex: B += coeff * c(vertex) at the diagonal
-            vals = coeff * cf[:, 0] * meas
+            vals = coeff * cfacet * meas
             rows.append(facets[:, 0])
             cols.append(facets[:, 0])
             vre.append(vals.real)
             vim.append(vals.imag)
         else:
-            elem = meas[:, None, None] * np.einsum("fk,kij->fij", cf, m3)
+            if dg0:
+                elem = (meas * cf)[:, None, None] * m2f[None, :, :]
+            else:
+                elem = meas[:, None, None] * np.einsum("fk,kij->fij", cf, m3)
             vals = coeff * elem
             nf, nl = facets.shape
             r = np.repeat(facets, nl, axis=1).reshape(nf, nl, nl)

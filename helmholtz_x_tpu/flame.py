@@ -163,10 +163,12 @@ class PointwiseFlameMatrix(FlameMatrixBase):
         right_j^f = (n_r . grad phi_j)(x_r^f) / rho_u      (point evaluation)
     """
 
-    def __init__(self, mesh: Mesh, x_r, h: DGField, rho_u: float, q_0: float,
-                 u_b: float, FTF, degree: int = 1, gamma: float = 1.4,
-                 tol: float = 1e-10):
+    def __init__(self, mesh: Mesh, subdomains, x_r, h: DGField, rho_u: float,
+                 q_0: float, u_b: float, FTF, degree: int = 1,
+                 bloch_object=None, gamma: float = 1.4, tol: float = 1e-10):
+        # `subdomains` kept for reference-API parity; tags live on the mesh
         super().__init__(mesh, FTF, tol)
+        self.bloch_object = bloch_object
         self.x_r = np.asarray(x_r, dtype=float)
         self._h = h
         self._rho_u = rho_u
@@ -183,8 +185,8 @@ class PointwiseFlameMatrix(FlameMatrixBase):
         x = mesh.points[mesh.cells][:, :, :d]  # (nc, d+1, d)
         v0 = x[:, 0, :]
         jt = x[:, 1:, :] - x[:, :1, :]  # (nc, d, d)
-        rhs = (p[None, :] - v0)  # (nc, d)
-        lam_rest = np.linalg.solve(np.transpose(jt, (0, 2, 1)), rhs)  # (nc, d)
+        rhs = (p[None, :] - v0)[:, :, None]  # (nc, d, 1)
+        lam_rest = np.linalg.solve(np.transpose(jt, (0, 2, 1)), rhs)[:, :, 0]  # (nc, d)
         lam0 = 1.0 - lam_rest.sum(axis=1)
         lams = np.concatenate([lam0[:, None], lam_rest], axis=1)
         ok = np.all(lams >= -1e-10, axis=1)

@@ -1,0 +1,58 @@
+"""Manufactured-solution oracle (reference: numerical_examples/
+manufacturedSolution/manufacturedHelmholtz.py): rectangle 0.4 x 0.1, uniform
+c=450, impedance Z on the top boundary, PEP solve vs the analytic dispersion
+relation  -beta sin(beta h) = (i omega / (c Z)) cos(beta h),
+beta^2 = (omega/c)^2 - (m pi / L)^2.
+
+The reference validates against MATLAB fsolve roots of the same relation; we
+solve it directly with a complex Newton iteration.
+"""
+
+import numpy as np
+import pytest
+
+from helmholtz_x_tpu.mesh import rectangle_setup
+from helmholtz_x_tpu.fem.fields import c_uniform
+from helmholtz_x_tpu.acoustics import AcousticMatrices
+from helmholtz_x_tpu.solvers.arnoldi import pep_solver
+from helmholtz_x_tpu.eigenvectors import normalize_eigenvector
+
+L, H = 0.4, 0.1
+C0 = 450.0
+
+
+def dispersion_root(Z, omega0, m=1):
+    """Newton on f(omega) = -beta sin(beta h) cZ - i omega cos(beta h)."""
+    om = complex(omega0)
+    kx = m * np.pi / L
+
+    def f(om):
+        beta = np.sqrt((om / C0) ** 2 - kx**2 + 0j)
+        return -beta * np.sin(beta * H) * C0 * Z - 1j * om * np.cos(beta * H)
+
+    for _ in range(100):
+        h = 1e-6 * max(1.0, abs(om))
+        df = (f(om + h) - f(om - h)) / (2 * h)
+        step = f(om) / df
+        om = om - step
+        if abs(step) < 1e-10 * abs(om):
+            break
+    return om
+
+
+def calc_R(Z):
+    return (Z - 1) / (Z + 1)
+
+
+@pytest.mark.parametrize("Z", [4.0 + 0j, -6.0 + 0j, 5j, 2 + 3j])
+def test_manufactured_dispersion(Z):
+    mesh = rectangle_setup(160, 40, L, H)
+    c = c_uniform(mesh, C0)
+    bcs = {4: {"Robin": calc_R(Z)}}
+    matrices = AcousticMatrices(mesh, bcs, c)
+    target = 600 * 2 * np.pi
+    E = pep_solver(matrices.A, matrices.B, matrices.C, target, nev=2)
+    omega, _ = normalize_eigenvector(mesh, E, 0, print_eigs=False)
+    om_ref = dispersion_root(Z, target)
+    # FEM discretization error dominates; 160x40 P1 -> ~1e-4 relative
+    assert abs(omega - om_ref) / abs(om_ref) < 2e-3, (omega, om_ref)
