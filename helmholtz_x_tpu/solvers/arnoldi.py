@@ -34,7 +34,12 @@ import numpy as np
 from ..ops.cplx import Z, zzeros
 from ..ops.csr import CSR, spmv, spmv_H
 from ..utils.logging import info
-from .linsolve import ShiftedFactor, Woodbury, csr_weighted_dense
+from .linsolve import (
+    ShiftedFactor,
+    SparseShiftedFactor,
+    Woodbury,
+    build_shifted_factor,
+)
 
 _BREAKDOWN = 1e-290
 
@@ -178,26 +183,54 @@ class EigenResult:
         return len(self.eigenvalues)
 
 
-def _run_arnoldi(op, mode: str, n: int, nev: int, tol: float, mmax: int,
-                 chunk: int = 24, seed: int = 7):
-    """Drive jitted chunks until the nev wanted Ritz pairs converge.
+def _host_expand(apply_fn, Vnp, Hnp, j0, j1):
+    """Numpy CGS2 Arnoldi expansion for the host (sparse-LU) backend —
+    identical math to the jitted device chunk."""
+    for j in range(j0, j1):
+        w = apply_fn(Vnp[j])
+        h_tot = np.zeros(Vnp.shape[0], dtype=np.complex128)
+        for _ in range(2):
+            h = np.conj(Vnp) @ w
+            w = w - Vnp.T @ h
+            h_tot += h
+        beta = np.linalg.norm(w)
+        Vnp[j + 1] = w / beta if beta > _BREAKDOWN else 0.0
+        h_tot[j + 1] = beta
+        Hnp[:, j] = h_tot
+    return Vnp, Hnp
 
-    Returns (nus, ys, Vnp, j): shift-inverted Ritz values/vectors sorted by
-    descending |nu|, the basis, and the subspace dimension.
+
+def _run_arnoldi(op, mode: str, n: int, nev: int, tol: float, mmax: int,
+                 chunk: int = 24, seed: int = 7, host_apply=None):
+    """Drive Arnoldi expansion chunks until the nev wanted Ritz pairs
+    converge.  Device path: jitted `_arnoldi_chunk` on `op`; host path
+    (``host_apply`` given): numpy expansion for the sparse-LU tier.
+
+    Returns (nus, ys, rel, Vnp, j): shift-inverted Ritz values/vectors sorted
+    by descending |nu|, residuals, the basis, and the subspace dimension.
     """
     rng = np.random.default_rng(seed)
     v0 = rng.standard_normal(n) + 1j * rng.standard_normal(n)
     v0 /= np.linalg.norm(v0)
-    V = zzeros((mmax + 1, n))
-    V = Z(V.re.at[0].set(jnp.asarray(v0.real)), V.im.at[0].set(jnp.asarray(v0.imag)))
-    H = zzeros((mmax + 1, mmax))
+    if host_apply is not None:
+        Vh = np.zeros((mmax + 1, n), dtype=np.complex128)
+        Vh[0] = v0
+        Hh = np.zeros((mmax + 1, mmax), dtype=np.complex128)
+    else:
+        V = zzeros((mmax + 1, n))
+        V = Z(V.re.at[0].set(jnp.asarray(v0.real)), V.im.at[0].set(jnp.asarray(v0.imag)))
+        H = zzeros((mmax + 1, mmax))
 
     j = 0
     while j < mmax:
         j1 = min(j + chunk, mmax)
-        V, H = _arnoldi_chunk(op, V, H, j, j1, mode)
+        if host_apply is not None:
+            Vh, Hh = _host_expand(host_apply, Vh, Hh, j, j1)
+            Hnp = Hh[: j1 + 1, :j1]
+        else:
+            V, H = _arnoldi_chunk(op, V, H, j, j1, mode)
+            Hnp = np.asarray(H.re)[: j1 + 1, :j1] + 1j * np.asarray(H.im)[: j1 + 1, :j1]
         j = j1
-        Hnp = np.asarray(H.re)[: j + 1, :j] + 1j * np.asarray(H.im)[: j + 1, :j]
         # happy breakdown -> exact invariant subspace
         sub = np.abs(np.diag(Hnp[1:, :]))
         brk = np.nonzero(sub < 1e-13 * max(1.0, np.abs(Hnp).max()))[0]
@@ -209,10 +242,12 @@ def _run_arnoldi(op, mode: str, n: int, nev: int, tol: float, mmax: int,
         wanted = order[: min(nev, len(order))]
         rel = resid[wanted] / np.maximum(np.abs(nus[wanted]), 1e-300)
         if np.all(rel < tol) or jeff < j:
-            Vnp = np.asarray(V.re)[:jeff] + 1j * np.asarray(V.im)[:jeff]
+            Vnp = (Vh[:jeff] if host_apply is not None
+                   else np.asarray(V.re)[:jeff] + 1j * np.asarray(V.im)[:jeff])
             return nus[order], ys[:, order], rel, Vnp, jeff
     info(f"! Arnoldi hit mmax={mmax} with residuals {rel}; returning best available.")
-    Vnp = np.asarray(V.re)[:j] + 1j * np.asarray(V.im)[:j]
+    Vnp = (Vh[:j] if host_apply is not None
+           else np.asarray(V.re)[:j] + 1j * np.asarray(V.im)[:j])
     return nus[order], ys[:, order], rel, Vnp, j
 
 
@@ -234,17 +269,24 @@ def eps_solver(A: CSR, C: CSR, target: complex, nev: int = 2,
     sigma = complex(target) ** 2
     n = C.n
     if factor is None:
-        P = csr_weighted_dense([(1.0, A), (sigma, C)])
-        factor = ShiftedFactor(P)
+        factor = build_shifted_factor([(1.0, A), (sigma, C)], n)
         if lowrank is not None:
             factor.set_lowrank_factors(lowrank.L, lowrank.R, two_sided)
             factor.set_scale(lowrank.scale)
         else:
             factor.set_scale(0)
-    op = EpsOp(q=factor.fac.q, r=factor.fac.r, C=C, wb=factor.woodbury)
+    host = isinstance(factor, SparseShiftedFactor)
     mmax = mmax or _default_mmax(n, nev)
     info("- EPS solver started.")
-    nus, ys, rel, Vnp, j = _run_arnoldi(op, "eps", n, nev, tol, mmax)
+    if host:
+        Csp = C.to_scipy()
+        apply_fn = lambda v: factor.solve_wb(-(Csp @ v))  # noqa: E731
+        op = None
+        nus, ys, rel, Vnp, j = _run_arnoldi(None, "eps", n, nev, tol, mmax,
+                                            host_apply=apply_fn)
+    else:
+        op = EpsOp(q=factor.fac.q, r=factor.fac.r, C=C, wb=factor.woodbury)
+        nus, ys, rel, Vnp, j = _run_arnoldi(op, "eps", n, nev, tol, mmax)
     lams = sigma + 1.0 / nus
     nkeep = min(max(nev, 2), len(lams))
     vecs = (Vnp.T @ ys[:, :nkeep])
@@ -252,14 +294,26 @@ def eps_solver(A: CSR, C: CSR, target: complex, nev: int = 2,
     res = EigenResult(kind="eps", sigma=sigma, eigenvalues=lams[:nkeep],
                       vectors=vecs, iterations=j, residuals=rel)
     if two_sided:
-        nusL, ysL, relL, VnpL, jL = _run_arnoldi(op, "epsH", n, nev, tol, mmax, seed=11)
+        if host:
+            CHsp = Csp.conj().T.tocsr()
+            applyH = lambda v: -(CHsp @ factor.solve_wb_H(v))  # noqa: E731
+            nusL, ysL, relL, VnpL, jL = _run_arnoldi(None, "epsH", n, nev, tol,
+                                                     mmax, seed=11,
+                                                     host_apply=applyH)
+        else:
+            nusL, ysL, relL, VnpL, jL = _run_arnoldi(op, "epsH", n, nev, tol,
+                                                     mmax, seed=11)
         # left Ritz values approximate conj(nu); match to the right ones
         left = np.zeros((n, nkeep), dtype=np.complex128)
         for i in range(nkeep):
             m = np.argmin(np.abs(nusL - np.conj(nus[i])))
             u = VnpL.T @ ysL[:, m]
-            y = _solve_wb_H(op.q, op.r, op.wb, Z(jnp.asarray(u.real), jnp.asarray(u.imag)))
-            yv = np.asarray(y.re) + 1j * np.asarray(y.im)
+            if host:
+                yv = factor.solve_wb_H(u)
+            else:
+                y = _solve_wb_H(op.q, op.r, op.wb,
+                                Z(jnp.asarray(u.real), jnp.asarray(u.imag)))
+                yv = np.asarray(y.re) + 1j * np.asarray(y.im)
             left[:, i] = yv / np.linalg.norm(yv)
         res.left_vectors = left
     info("- EPS solver converged. Eigenvalue computed.")
@@ -278,19 +332,31 @@ def pep_solver(A: CSR, B: CSR, C: CSR, target: complex, nev: int = 2,
     sigma = complex(target)
     n = C.n
     if factor is None:
-        P = csr_weighted_dense([(1.0, A), (sigma, B), (sigma**2, C)])
-        factor = ShiftedFactor(P)
+        factor = build_shifted_factor([(1.0, A), (sigma, B), (sigma**2, C)], n)
         if lowrank is not None:
             factor.set_lowrank_factors(lowrank.L, lowrank.R, False)
             factor.set_scale(lowrank.scale)
         else:
             factor.set_scale(0)
-    op = PepOp(q=factor.fac.q, r=factor.fac.r, B=B, C=C,
-               sig=Z(jnp.asarray(sigma.real), jnp.asarray(sigma.imag)),
-               wb=factor.woodbury)
     mmax = mmax or _default_mmax(2 * n, nev)
     info("- PEP solver started.")
-    nus, ys, rel, Vnp, j = _run_arnoldi(op, "pep", 2 * n, nev, tol, mmax)
+    if isinstance(factor, SparseShiftedFactor):
+        Bsp = B.to_scipy()
+        Csp = C.to_scipy()
+
+        def apply_fn(v):
+            v1, v2 = v[:n], v[n:]
+            rhs = Bsp @ v1 + Csp @ (v2 + sigma * v1)
+            z1 = -factor.solve_wb(rhs)
+            return np.concatenate([z1, v1 + sigma * z1])
+
+        nus, ys, rel, Vnp, j = _run_arnoldi(None, "pep", 2 * n, nev, tol, mmax,
+                                            host_apply=apply_fn)
+    else:
+        op = PepOp(q=factor.fac.q, r=factor.fac.r, B=B, C=C,
+                   sig=Z(jnp.asarray(sigma.real), jnp.asarray(sigma.imag)),
+                   wb=factor.woodbury)
+        nus, ys, rel, Vnp, j = _run_arnoldi(op, "pep", 2 * n, nev, tol, mmax)
     lams = sigma + 1.0 / nus
     nkeep = min(max(nev, 2), len(lams))
     vecs2 = (Vnp.T @ ys[:, :nkeep])

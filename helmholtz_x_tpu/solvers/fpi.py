@@ -14,10 +14,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.csr import CSR, csr_add
+from ..ops.csr import CSR
 from ..utils.logging import info
 from .arnoldi import EigenResult, eps_solver, pep_solver
-from .linsolve import ShiftedFactor, csr_weighted_dense
+from .linsolve import build_shifted_factor
 
 
 def _fmt(tol: float) -> str:
@@ -63,7 +63,7 @@ def fixed_point_iteration_eps(operators, D, target: complex, nev: int = 2,
 
     factor = None
     if not refactor_each:
-        factor = ShiftedFactor(csr_weighted_dense([(1.0, A), (sigma, C)]))
+        factor = build_shifted_factor([(1.0, A), (sigma, C)], C.n)
         factor.set_lowrank_factors(L, R, two_sided)
         factor.set_scale(0)
 
@@ -86,8 +86,8 @@ def fixed_point_iteration_eps(operators, D, target: complex, nev: int = 2,
         info("* iter = {:2d}".format(k + 1))
         sc = _flame_scale(D, omega[k], problem_type)
         if refactor_each:
-            factor = ShiftedFactor(csr_weighted_dense(
-                [(1.0, A), (omega[k], B), (sigma, C)]))
+            factor = build_shifted_factor(
+                [(1.0, A), (omega[k], B), (sigma, C)], C.n)
             factor.set_lowrank_factors(L, R, two_sided)
         factor.set_scale(sc)
         E = eps_solver(A, C, target, nev, two_sided=two_sided,
@@ -118,8 +118,7 @@ def fixed_point_iteration_pep(operators, D, target: complex, nev: int = 2,
     alpha = np.zeros(maxiter, dtype=complex)
 
     L, R = _flame_factors(D, problem_type)
-    factor = ShiftedFactor(csr_weighted_dense(
-        [(1.0, A), (sigma, B), (sigma**2, C)]))
+    factor = build_shifted_factor([(1.0, A), (sigma, B), (sigma**2, C)], C.n)
     factor.set_lowrank_factors(L, R, False)
     factor.set_scale(0)
 

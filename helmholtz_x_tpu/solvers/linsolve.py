@@ -48,6 +48,15 @@ def csr_weighted_dense(terms) -> Z:
     return Z(dr, di)
 
 
+def csr_weighted_scipy(terms):
+    """Host (scipy) sum  sum_i coeff_i * M_i for the sparse tier."""
+    terms = [(complex(c), m) for c, m in terms if m is not None and c != 0]
+    out = terms[0][0] * terms[0][1].to_scipy()
+    for c, m in terms[1:]:
+        out = out + c * m.to_scipy()
+    return out.tocsc()
+
+
 class Woodbury(NamedTuple):
     """Device-side state of the rank-k correction (possibly k=0)."""
 
@@ -127,3 +136,82 @@ class ShiftedFactor:
         if self._wb is None:
             return self.set_scale(0)
         return self._wb
+
+
+class SparseShiftedFactor:
+    """Sparse-direct tier of the shifted-operator factorization (host LU via
+    SuperLU + the same Woodbury correction, pure numpy solves).
+
+    INTERIM implementation for problems beyond the dense-QR memory budget
+    (>~10k dofs): the factorization runs on the host while the production
+    TPU-native replacement (RCM-banded blocked LU on the MXU, see
+    ops/banded.py roadmap) lands.  The interface matches ShiftedFactor so the
+    Arnoldi/FPI/Newton drivers are backend-agnostic.
+    """
+
+    backend = "host"
+
+    def __init__(self, P_scipy):
+        import scipy.sparse as sp
+        from scipy.sparse.linalg import splu
+
+        self.n = P_scipy.shape[0]
+        self.lu = splu(sp.csc_matrix(P_scipy))
+        self._L = None
+        self._R = None
+        self._W = None
+        self._Wh = None
+        self._G = None
+        self._Gh = None
+        self._cap = None
+        self._caph = None
+
+    def solve_P(self, b: np.ndarray) -> np.ndarray:
+        return self.lu.solve(np.asarray(b, dtype=np.complex128))
+
+    def solve_P_H(self, b: np.ndarray) -> np.ndarray:
+        return self.lu.solve(np.asarray(b, dtype=np.complex128), trans="H")
+
+    def set_lowrank_factors(self, L, R, two_sided: bool = False):
+        self._L = np.asarray(L, dtype=np.complex128)
+        self._R = np.asarray(R, dtype=np.complex128)
+        self._W = self.solve_P(self._L)
+        self._G = self._R.T @ self._W
+        if two_sided:
+            self._Wh = self.solve_P_H(np.conj(self._R))
+            self._Gh = np.conj(self._L).T @ self._Wh
+
+    def set_scale(self, s: complex):
+        k = self._L.shape[1] if self._L is not None else 0
+        if k == 0 or s == 0:
+            self._cap = None
+            self._caph = None
+            return
+        self._cap = np.linalg.inv(np.eye(k) / s - self._G)
+        if self._Wh is not None:
+            self._caph = np.linalg.inv(np.eye(k) / np.conj(s) - self._Gh)
+
+    def solve_wb(self, b: np.ndarray) -> np.ndarray:
+        """(P - s L R^T)^{-1} b."""
+        y = self.solve_P(b)
+        if self._cap is not None:
+            y = y + self._W @ (self._cap @ (self._R.T @ y))
+        return y
+
+    def solve_wb_H(self, b: np.ndarray) -> np.ndarray:
+        y = self.solve_P_H(b)
+        if self._caph is not None:
+            y = y + self._Wh @ (self._caph @ (np.conj(self._L).T @ y))
+        return y
+
+
+# Problems with more dofs than this use the sparse tier (dense QR of the real
+# embedding needs 2*(2n)^2 f64 ~ 64 n^2 bytes: 10k dofs ~ 6.4 GB).
+DENSE_DOF_LIMIT = int(__import__("os").environ.get("HELMHOLTZ_X_TPU_DENSE_LIMIT", 8000))
+
+
+def build_shifted_factor(terms, n: int):
+    """Factor P = sum coeff_i M_i with the tier appropriate for the size."""
+    if n <= DENSE_DOF_LIMIT:
+        return ShiftedFactor(csr_weighted_dense(terms))
+    return SparseShiftedFactor(csr_weighted_scipy(terms))

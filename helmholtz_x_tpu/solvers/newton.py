@@ -19,7 +19,7 @@ import numpy as np
 from ..ops.csr import csr_scale
 from ..utils.logging import info
 from .arnoldi import eps_solver
-from .linsolve import ShiftedFactor, csr_weighted_dense
+from .linsolve import build_shifted_factor
 
 
 def newton_solver(operators, D, init: complex, nev: int = 2, i: int = 0,
@@ -53,7 +53,7 @@ def newton_solver(operators, D, init: complex, nev: int = 2, i: int = 0,
         terms = [(1.0, A), (omega**2, C)]
         if B is not None:
             terms.insert(1, (omega, B))
-        factor = ShiftedFactor(csr_weighted_dense(terms))
+        factor = build_shifted_factor(terms, C.n)
         factor.set_lowrank_factors(L, R, two_sided=True)
         factor.set_scale(sc)
         # eps_solver solves A' x = lam (-C_arg) x; pass -C to get L p = lam C p

@@ -1,0 +1,68 @@
+"""FlamedDuct case (177,771 tets, 33,855 dofs) — exercises the sparse solver
+tier, choked inlet/outlet BCs with surface-averaged variable gamma, the
+half-Gaussian flame and ideal-gas density.
+
+Gates (reference Longitudinal/NetworkCode/FlamedDuct/Results):
+    passive: 1644.923520-11.921369j
+    active:  1649.695869-43.234201j
+"""
+
+import numpy as np
+import pytest
+
+from helmholtz_x_tpu.mesh.xdmf import XDMFReader
+from helmholtz_x_tpu.fem.fields import (
+    gaussian_function,
+    half_gaussian_function,
+    rho_ideal,
+    temperature_step,
+    temperature_uniform,
+)
+from helmholtz_x_tpu.acoustics import AcousticMatrices
+from helmholtz_x_tpu.ftf import nTau
+from helmholtz_x_tpu.flame import DistributedFlameMatrix
+from helmholtz_x_tpu.solvers.arnoldi import pep_solver
+from helmholtz_x_tpu.solvers.fpi import fixed_point_iteration
+from helmholtz_x_tpu.eigenvectors import normalize_eigenvector
+
+CASE = "/root/reference/numerical_examples/Longitudinal/NetworkCode/FlamedDuct"
+
+p_gas, r_gas = 100000.0, 287.1
+T_passive, T_flame = 1000.0, 1500.0
+x_flame = np.array([[0.0, 0.0, 0.50]])
+a_flame = 0.025
+x_ref = np.array([[0.0, 0.0, 0.35]])
+a_ref = 0.025
+n_ftf, tau = 1.0, 0.2e-3
+q_0, u_b = -57015.232012607579, 11.485465769828917
+M0, M1 = 9.2224960671405849e-003, 1.1408306741423997e-002
+
+BCS = {3: {"ChokedInlet": M0}, 8: {"ChokedOutlet": M1}}
+
+
+@pytest.mark.slow
+def test_flamedduct_passive():
+    mesh = XDMFReader(CASE + "/MeshDir/mesh").mesh
+    T = temperature_uniform(mesh, T_passive)
+    matrices = AcousticMatrices(mesh, BCS, T)
+    E = pep_solver(matrices.A, matrices.B, matrices.C, 262 * 2 * np.pi, nev=10)
+    omega, _ = normalize_eigenvector(mesh, E, 0)
+    expected = 1644.923520 - 11.921369j
+    assert abs(omega - expected) / abs(expected) < 1e-6, omega
+
+
+@pytest.mark.slow
+def test_flamedduct_active():
+    mesh = XDMFReader(CASE + "/MeshDir/mesh").mesh
+    T = temperature_step(mesh, x_flame, T_passive, T_flame)
+    matrices = AcousticMatrices(mesh, BCS, T)
+    FTF = nTau(n_ftf, tau)
+    rho = rho_ideal(T, p_gas, r_gas)
+    w = gaussian_function(mesh, x_ref, a_ref)
+    h = half_gaussian_function(mesh, x_flame, a_flame)
+    D = DistributedFlameMatrix(mesh, w, h, rho, T, q_0, u_b, FTF)
+    D.assemble_submatrices()
+    E = fixed_point_iteration(matrices, D, 250 * 2 * np.pi, nev=2)
+    omega, _ = normalize_eigenvector(mesh, E, 0)
+    expected = 1649.695869 - 43.234201j
+    assert abs(omega - expected) / abs(expected) < 1e-6, omega
