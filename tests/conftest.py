@@ -9,6 +9,10 @@ plugin; overriding the config after import is what actually sticks.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Route mid-size meshes (>4k dofs) to the sparse tier: on the CPU test
+# backend the dense-QR path is LAPACK-bound and slow, and the 1D/2D cases
+# below the limit still cover it.
+os.environ.setdefault("HELMHOLTZ_X_TPU_DENSE_LIMIT", "4000")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
