@@ -36,8 +36,8 @@ from .utils.logging import info
 class AcousticMatrices:
     def __init__(self, mesh: Mesh, boundary_conditions: dict, parameter: Field,
                  degree: int = 1):
-        if degree != 1:
-            raise NotImplementedError("P2 elements land in a later milestone")
+        if degree not in (1, 2):
+            raise NotImplementedError(f"unsupported degree {degree}")
         self.mesh = mesh
         self.boundary_conditions = boundary_conditions
         self.degree = degree
@@ -86,19 +86,42 @@ class AcousticMatrices:
                 robin_contribs.append((tag, 1j / Z, self.c.values, self.dg0))
                 info(f"- Choked outlet boundary on boundary {tag}")
 
-        self.dirichlet_dofs = (
-            np.unique(np.concatenate(dirichlet_dofs)) if dirichlet_dofs else np.zeros(0, np.int32)
-        )
-
         info("- Passive matrices are assembling..")
-        self._A = assemble_stiffness_csq(mesh, self.c.values, self.dirichlet_dofs,
-                                         dg0=self.dg0)
-        info("- Matrix A is assembled.")
-        self._B = assemble_boundary_mass(mesh, robin_contribs)
+        if degree == 1:
+            self.space = None
+            self.dirichlet_dofs = (
+                np.unique(np.concatenate(dirichlet_dofs)) if dirichlet_dofs
+                else np.zeros(0, np.int32)
+            )
+            self._A = assemble_stiffness_csq(mesh, self.c.values, self.dirichlet_dofs,
+                                             dg0=self.dg0)
+            info("- Matrix A is assembled.")
+            self._B = assemble_boundary_mass(mesh, robin_contribs)
+            self._C = assemble_mass(mesh, self.dirichlet_dofs)
+        else:
+            from .fem.p2 import (
+                P2Space,
+                assemble_boundary_mass_p2,
+                assemble_mass_p2,
+                assemble_stiffness_csq_p2,
+            )
+
+            self.space = P2Space.build(mesh)
+            if dirichlet_dofs:
+                dd = [self.space.facet_dofs(mesh.facets_with_tag(t)).ravel()
+                      for t, bc in boundary_conditions.items()
+                      if not isinstance(bc, str) and "Dirichlet" in bc]
+                self.dirichlet_dofs = np.unique(np.concatenate(dd))
+            else:
+                self.dirichlet_dofs = np.zeros(0, np.int32)
+            self._A = assemble_stiffness_csq_p2(self.space, self.c.values,
+                                                self.dirichlet_dofs)
+            info("- Matrix A is assembled.")
+            self._B = assemble_boundary_mass_p2(self.space, robin_contribs)
+            self._C = assemble_mass_p2(self.space, self.dirichlet_dofs)
         self._B_adj = csr_conj_transpose(self._B) if self._B is not None else None
         if self._B is not None:
             info("- Matrix B is assembled.")
-        self._C = assemble_mass(mesh, self.dirichlet_dofs)
         info("- Matrix C is assembled.\n")
 
     def _surface_avg_gamma(self, tag: int) -> float:

@@ -39,7 +39,12 @@ def normalize_eigenvector(mesh: Mesh, obj: EigenResult, i: int, absolute: bool =
         v = np.asarray(BlochRemapper @ v).ravel()
 
     v = fix_sign(v)
-    meas = np.sqrt(integrate_p1_squared(mesh, v))
+    if degree == 1:
+        meas = np.sqrt(integrate_p1_squared(mesh, v))
+    else:
+        from .fem.p2 import P2Space, integrate_pp_p2
+
+        meas = np.sqrt(integrate_pp_p2(P2Space.build(mesh), v))
     v = v / meas
 
     if absolute:

@@ -143,13 +143,27 @@ class DistributedFlameMatrix(FlameMatrixBase):
         self._h = h
         self._rho = rho
         self._q0_ub = q_0 / u_b
+        self.degree = degree
 
     def assemble_submatrices(self, problem_type: str = "direct"):
-        left = assemble_p1p1_vector(self.mesh, self._gamma_minus_1, self._h.values,
-                                    scale=self._q0_ub)
-        right = assemble_grad_quotient_vector(self.mesh, self._w.values,
-                                              self._rho.values,
-                                              _reference_direction(self.mesh.gdim))
+        n_r = _reference_direction(self.mesh.gdim)
+        if self.degree == 1:
+            left = assemble_p1p1_vector(self.mesh, self._gamma_minus_1,
+                                        self._h.values, scale=self._q0_ub)
+            right = assemble_grad_quotient_vector(self.mesh, self._w.values,
+                                                  self._rho.values, n_r)
+        else:
+            from .fem.p2 import (
+                P2Space,
+                assemble_grad_quotient_vector_p2,
+                assemble_p1p1_vector_p2,
+            )
+
+            space = P2Space.build(self.mesh)
+            left = assemble_p1p1_vector_p2(space, self._gamma_minus_1,
+                                           self._h.values, scale=self._q0_ub)
+            right = assemble_grad_quotient_vector_p2(space, self._w.values,
+                                                     self._rho.values, n_r)
         self._L = _threshold(left, self.tol)[:, None]
         self._R = _threshold(right, self.tol)[:, None]
         info("- Submatrix D is assembled (rank-1 factors).")

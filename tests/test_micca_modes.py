@@ -1,0 +1,28 @@
+"""MICCA mode sweep — FPI at several spectral targets on the full annulus
+(reference: fullAnnulus/active_modes.py; Results/Active/Modes/Parallel*.log).
+
+The full six-target sweep is expensive; two representative targets (a
+low-frequency plenum mode and the 720 Hz chamber mode) gate the sweep here.
+"""
+
+import numpy as np
+import pytest
+
+from helmholtz_x_tpu.solvers.fpi import fixed_point_iteration
+from helmholtz_x_tpu.eigenvectors import normalize_eigenvector
+from test_micca_full import _build
+
+TARGETS = {
+    1000.0: 928.879250 - 527.878099j,
+    5000.0: 4527.152561 + 4.881680j,
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("target", sorted(TARGETS))
+def test_micca_mode(target):
+    mesh, matrices, D = _build("direct")
+    E = fixed_point_iteration(matrices, D, target, i=0, nev=4, tol=1e-3)
+    omega, _ = normalize_eigenvector(mesh, E, 0)
+    expected = TARGETS[target]
+    assert abs(omega - expected) / abs(expected) < 1e-5, omega

@@ -1,0 +1,73 @@
+"""P2 (quadratic) element validation.
+
+Unit: P2 mass/stiffness integrals against exact values on reference cells.
+End-to-end gate: the degree-2 RijkeFFD shape-derivative run
+(reference ShapeSensitivities/RijkeFFD/Results/ShapeDerivatives/
+eigenvalues.txt): direct omega = 1156.7431442242+0.8682828503j.
+"""
+
+import numpy as np
+import pytest
+
+from helmholtz_x_tpu.mesh import one_dimensional_setup
+from helmholtz_x_tpu.mesh.xdmf import XDMFReader
+from helmholtz_x_tpu.fem.p2 import (
+    P2Space,
+    assemble_mass_p2,
+    assemble_stiffness_csq_p2,
+)
+from helmholtz_x_tpu.fem.fields import Field, density_step, gaussian_function, temperature_step
+from helmholtz_x_tpu.acoustics import AcousticMatrices
+from helmholtz_x_tpu.ftf import nTau
+from helmholtz_x_tpu.flame import DistributedFlameMatrix
+from helmholtz_x_tpu.solvers.fpi import fixed_point_iteration
+from helmholtz_x_tpu.eigenvectors import normalize_eigenvector
+
+CASE = "/root/reference/numerical_examples/ShapeSensitivities/RijkeFFD"
+
+
+def test_p2_mass_total():
+    """P2 mass integrates the domain measure exactly; the Neumann Laplace
+    eigenvalue converges at the P2 rate O(h^4)."""
+    import scipy.linalg as sla
+
+    errs = []
+    for ne in (10, 20):
+        mesh = one_dimensional_setup(ne)
+        space = P2Space.build(mesh)
+        C = assemble_mass_p2(space).to_scipy()
+        assert abs(C.sum() - 1.0) < 1e-12  # domain measure
+        A = assemble_stiffness_csq_p2(space, np.ones(mesh.num_vertices)).to_scipy()
+        lam = np.sort(np.abs(sla.eigvals((-A).toarray(), C.toarray()).real))
+        errs.append(abs(lam[1] - np.pi**2) / np.pi**2)
+    assert errs[0] < 5e-4
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 3.5, (errs, rate)  # O(h^4)
+
+
+@pytest.mark.slow
+def test_rijkeffd_degree2_gate():
+    mesh = XDMFReader(CASE + "/MeshDir/ShapeDerivatives/mesh").mesh
+    r_gas, gamma = 287.0, 1.4
+    p_amb, rho_amb = 1e5, 1.22
+    rho_u, rho_d = rho_amb, 0.85
+    T_in = p_amb / (r_gas * rho_u)
+    T_out = p_amb / (r_gas * rho_d)
+    R = -0.975 - 0.05j
+    x_f = np.array([[0.0, 0.0, 0.25]])
+    x_r = np.array([[0.0, 0.0, 0.20]])
+
+    bcs = {1: {"Neumann"}, 2: {"Robin": R}, 3: {"Robin": R}}
+    T = temperature_step(mesh, x_f, T_in, T_out)
+    matrices = AcousticMatrices(mesh, bcs, T, degree=2)
+    FTF = nTau(0.014, 0.0015)
+    rho = Field(density_step(mesh.points[:, 2], 0.25, 0.025, rho_d, rho_u), "rho")
+    w = gaussian_function(mesh, x_r, 0.025)
+    h = gaussian_function(mesh, x_f, 0.025)
+    D = DistributedFlameMatrix(mesh, w, h, rho, T, 200.0, 0.1, FTF, degree=2,
+                               gamma=gamma)
+    D.assemble_submatrices("direct")
+    E = fixed_point_iteration(matrices, D, 180 * 2 * np.pi, nev=2, i=0)
+    omega, _ = normalize_eigenvector(mesh, E, 0, degree=2)
+    expected = 1156.7431442242196 + 0.8682828502864666j
+    assert abs(omega - expected) / abs(expected) < 1e-6, omega
