@@ -71,21 +71,28 @@ def run_fpi(matrices, D):
 def main():
     import contextlib
     import io
+    import sys
 
     import jax
 
     jax.config.update("jax_enable_x64", True)
 
+    def log(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    log("building problem")
     mesh, matrices, D = build()
     silent = io.StringIO()
     # warmup run: trigger all compiles (cached on disk for future runs)
+    log("warmup FPI (compiles)")
     with contextlib.redirect_stdout(silent):
         E = run_fpi(matrices, D)
-    # timed run
+    log("timed FPI")
     t0 = time.perf_counter()
     with contextlib.redirect_stdout(silent):
         E = run_fpi(matrices, D)
     wall = time.perf_counter() - t0
+    log(f"done in {wall:.3f}s")
 
     omega = np.sqrt(E.getEigenvalue(0))
     expected = 1242.185123 + 6.683160j

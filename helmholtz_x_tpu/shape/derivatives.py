@@ -19,7 +19,7 @@ from ..eigenvectors import normalize_adjoint
 from ..fem.assembly import facet_adjacent_cells
 from ..fem.fields import Field
 from ..mesh.core import Mesh
-from .ffd import FFDCylindrical, surface_normals
+from .ffd import FFDCylindrical
 
 
 def _facet_third_average(mesh: Mesh, facets, vertex_vals):
@@ -35,21 +35,30 @@ def shape_derivatives_ffd(mesh: Mesh, lattice: FFDCylindrical, surface_tag: int,
     """Derivative dict {zeta: {phi: domega}} for the outermost radial layer
     of control points (reference: shape_derivatives.py:12-37)."""
     p_adj_n = normalize_adjoint(omega_dir, p_dir, p_adj, matrices, flame_matrix)
-    pa_conj = np.conj(p_adj_n.values)
+    u = np.conj(p_adj_n.values)  # the unconjugated left null vector of L(omega)
 
-    # G per cell: grad(conj(p_adj) c^2) . grad(p_dir)
+    # The reference evaluates G = div(u c^2 grad p) with UFL (P2 second
+    # derivatives); substituting the strong equation div(c^2 grad p) =
+    # -omega^2 p gives the equivalent  G = c^2 grad(u).grad(p) - omega^2 u p,
+    # which is exact for P1 elements too (no cellwise laplacian needed).
     g = mesh.cell_grads()  # (nc, d+1, d)
     conn = mesh.cells
-    w_vals = pa_conj * c.values**2  # P1 nodal product (interpolation, as UFL
-    # does for the P1 coefficient product)
-    grad_w = np.einsum("ki,kid->kd", w_vals[conn], g)
+    grad_u = np.einsum("ki,kid->kd", u[conn], g)
     grad_p = np.einsum("ki,kid->kd", p_dir.values[conn], g)
-    G_cell = np.einsum("kd,kd->k", grad_w, grad_p)  # (nc,) complex
+    gradugradp = np.einsum("kd,kd->k", grad_u, grad_p)  # (nc,) per-cell const
 
     facets = mesh.facets_with_tag(surface_tag)
     adj = facet_adjacent_cells(mesh, facets)
     meas = mesh.facet_measures(facets)
-    _, vert_n = surface_normals(mesh, surface_tag)
+
+    # facet quadrature (degree 4) for the P1 interpolants on the facet
+    from ..fem.quadrature import simplex_rule
+
+    lam, wq = simplex_rule(mesh.dim - 1, 4)
+    cq = c.values[facets] @ lam.T  # (nf, nq)
+    uq = u[facets] @ lam.T
+    pq = p_dir.values[facets] @ lam.T
+    om2 = omega_dir**2
 
     i = lattice.l - 1  # outermost radial layer
     derivatives = {}
@@ -57,12 +66,9 @@ def shape_derivatives_ffd(mesh: Mesh, lattice: FFDCylindrical, surface_tag: int,
         derivatives[zeta] = {}
         for phi in range(lattice.m):
             w = lattice.bernstein_weight(i, phi, zeta, mesh.points)  # (nv,)
-            # V.n with V = w * n at surface vertices -> scalar field w on S
-            vn = w  # (V.n) = w since V is along the unit normal
-            # int_F (V.n) G ds: (V.n) P1 on facet, G constant from adj cell
-            m = facets.shape[1]
-            vn_face = vn[facets].sum(axis=1) / m
-            val = np.sum(meas * vn_face * G_cell[adj])
+            wb_q = w[facets] @ lam.T  # (V.n) = Bernstein weight on the facet
+            Gq = cq**2 * gradugradp[adj][:, None] - om2 * uq * pq
+            val = np.sum(meas * ((wb_q * Gq) @ wq))
             derivatives[zeta][phi] = complex(val)
     return derivatives
 

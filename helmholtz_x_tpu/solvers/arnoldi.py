@@ -45,15 +45,13 @@ _BREAKDOWN = 1e-290
 
 
 class EpsOp(NamedTuple):
-    q: jnp.ndarray
-    r: jnp.ndarray
+    minv: jnp.ndarray  # explicit inverse of the embedded shifted operator
     C: CSR
     wb: Woodbury
 
 
 class PepOp(NamedTuple):
-    q: jnp.ndarray
-    r: jnp.ndarray
+    minv: jnp.ndarray
     B: CSR
     C: CSR
     sig: Z  # 0-d shift
@@ -70,10 +68,10 @@ def _kT_matvec(M: Z, x: Z) -> Z:
     return Z(M.re.T @ x.re - M.im.T @ x.im, M.re.T @ x.im + M.im.T @ x.re)
 
 
-def _solve_wb(q, r, wb: Woodbury, b: Z) -> Z:
-    """(P - s L R^T)^{-1} b via QR solve + Woodbury correction."""
+def _solve_wb(minv, wb: Woodbury, b: Z) -> Z:
+    """(P - s L R^T)^{-1} b via the explicit inverse + Woodbury correction."""
     be = jnp.concatenate([b.re, b.im])
-    ye = jsl.solve_triangular(r, q.T @ be, lower=False)
+    ye = minv @ be
     n = b.re.shape[0]
     y = Z(ye[:n], ye[n:])
     t = _kT_matvec(wb.R, y)  # R^T y
@@ -82,10 +80,10 @@ def _solve_wb(q, r, wb: Woodbury, b: Z) -> Z:
     return Z(y.re + corr.re, y.im + corr.im)
 
 
-def _solve_wb_H(q, r, wb: Woodbury, b: Z) -> Z:
-    """(P - s L R^T)^{-H} b (transpose solve on the real embedding)."""
+def _solve_wb_H(minv, wb: Woodbury, b: Z) -> Z:
+    """(P - s L R^T)^{-H} b (transpose of the embedded inverse)."""
     be = jnp.concatenate([b.re, b.im])
-    ye = q @ jsl.solve_triangular(r.T, be, lower=True)
+    ye = minv.T @ be
     n = b.re.shape[0]
     y = Z(ye[:n], ye[n:])
     t = _kT_matvec(wb.Lc, y)  # conj(L)^T y
@@ -97,9 +95,9 @@ def _solve_wb_H(q, r, wb: Woodbury, b: Z) -> Z:
 def _apply(op, v: Z, mode: str) -> Z:
     if mode == "eps":
         mv = spmv(op.C, v)
-        return _solve_wb(op.q, op.r, op.wb, Z(-mv.re, -mv.im))
+        return _solve_wb(op.minv, op.wb, Z(-mv.re, -mv.im))
     if mode == "epsH":
-        y = _solve_wb_H(op.q, op.r, op.wb, v)
+        y = _solve_wb_H(op.minv, op.wb, v)
         mv = spmv_H(op.C, y)
         return Z(-mv.re, -mv.im)
     if mode == "pep":
@@ -111,7 +109,7 @@ def _apply(op, v: Z, mode: str) -> Z:
         cv = spmv(op.C, Z(v2.re + sv1.re, v2.im + sv1.im))
         bv = spmv(op.B, v1)
         rhs = Z(bv.re + cv.re, bv.im + cv.im)
-        z1 = _solve_wb(op.q, op.r, op.wb, rhs)
+        z1 = _solve_wb(op.minv, op.wb, rhs)
         z1 = Z(-z1.re, -z1.im)
         sz1 = Z(op.sig.re * z1.re - op.sig.im * z1.im,
                 op.sig.re * z1.im + op.sig.im * z1.re)
@@ -285,7 +283,7 @@ def eps_solver(A: CSR, C: CSR, target: complex, nev: int = 2,
         nus, ys, rel, Vnp, j = _run_arnoldi(None, "eps", n, nev, tol, mmax,
                                             host_apply=apply_fn)
     else:
-        op = EpsOp(q=factor.fac.q, r=factor.fac.r, C=C, wb=factor.woodbury)
+        op = EpsOp(minv=factor.fac.minv, C=C, wb=factor.woodbury)
         nus, ys, rel, Vnp, j = _run_arnoldi(op, "eps", n, nev, tol, mmax)
     lams = sigma + 1.0 / nus
     nkeep = min(max(nev, 2), len(lams))
@@ -311,7 +309,7 @@ def eps_solver(A: CSR, C: CSR, target: complex, nev: int = 2,
             if host:
                 yv = factor.solve_wb_H(u)
             else:
-                y = _solve_wb_H(op.q, op.r, op.wb,
+                y = _solve_wb_H(op.minv, op.wb,
                                 Z(jnp.asarray(u.real), jnp.asarray(u.imag)))
                 yv = np.asarray(y.re) + 1j * np.asarray(y.im)
             left[:, i] = yv / np.linalg.norm(yv)
@@ -353,7 +351,7 @@ def pep_solver(A: CSR, B: CSR, C: CSR, target: complex, nev: int = 2,
         nus, ys, rel, Vnp, j = _run_arnoldi(None, "pep", 2 * n, nev, tol, mmax,
                                             host_apply=apply_fn)
     else:
-        op = PepOp(q=factor.fac.q, r=factor.fac.r, B=B, C=C,
+        op = PepOp(minv=factor.fac.minv, B=B, C=C,
                    sig=Z(jnp.asarray(sigma.real), jnp.asarray(sigma.imag)),
                    wb=factor.woodbury)
         nus, ys, rel, Vnp, j = _run_arnoldi(op, "pep", 2 * n, nev, tol, mmax)
