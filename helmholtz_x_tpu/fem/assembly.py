@@ -87,6 +87,11 @@ def assemble_stiffness_csq(mesh: Mesh, c_vals: np.ndarray, dirichlet_dofs=None,
 def facet_adjacent_cells(mesh: Mesh, facets: np.ndarray) -> np.ndarray:
     """Cell id adjacent to each boundary facet (needed to evaluate DG0
     coefficients on facet integrals, like dolfinx does for exterior facets)."""
+    from ..native import facet_adjacency
+
+    native = facet_adjacency(mesh.cells, facets)
+    if native is not None:
+        return native
     d = mesh.dim
     # enumerate cell faces (vertex subsets of size d)
     import itertools

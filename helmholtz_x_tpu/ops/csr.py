@@ -77,21 +77,29 @@ def csr_from_coo(n: int, rows, cols, vals_re, vals_im) -> CSR:
     """
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
-    key = rows * n + cols
-    order = np.argsort(key, kind="stable")
-    key = key[order]
-    vr = np.asarray(vals_re, dtype=np.float64)[order]
-    vi = np.asarray(vals_im, dtype=np.float64)[order]
-    uniq, start = np.unique(key, return_index=True)
-    seg = np.zeros(len(key), dtype=np.int64)
-    seg[start] = 1
-    seg = np.cumsum(seg) - 1
-    vr_u = np.zeros(len(uniq))
-    vi_u = np.zeros(len(uniq))
-    np.add.at(vr_u, seg, vr)
-    np.add.at(vi_u, seg, vi)
-    out_rows = (uniq // n).astype(np.int32)
-    out_cols = (uniq % n).astype(np.int32)
+    from ..native import coo_dedup
+
+    native = coo_dedup(n, rows, cols, vals_re, vals_im)
+    if native is not None:
+        out_rows64, out_cols64, vr_u, vi_u = native
+        out_rows = out_rows64.astype(np.int32)
+        out_cols = out_cols64.astype(np.int32)
+    else:
+        key = rows * n + cols
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        vr = np.asarray(vals_re, dtype=np.float64)[order]
+        vi = np.asarray(vals_im, dtype=np.float64)[order]
+        uniq, start = np.unique(key, return_index=True)
+        seg = np.zeros(len(key), dtype=np.int64)
+        seg[start] = 1
+        seg = np.cumsum(seg) - 1
+        vr_u = np.zeros(len(uniq))
+        vi_u = np.zeros(len(uniq))
+        np.add.at(vr_u, seg, vr)
+        np.add.at(vi_u, seg, vi)
+        out_rows = (uniq // n).astype(np.int32)
+        out_cols = (uniq % n).astype(np.int32)
     counts = np.bincount(out_rows, minlength=n)
     indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
     return CSR(
