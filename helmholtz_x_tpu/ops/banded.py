@@ -1,0 +1,274 @@
+"""Block-banded LU factorization and solves on TPU.
+
+The TPU-native sparse-direct tier for meshes beyond the dense-QR budget
+(FlamedDuct 34k dofs, MICCA annulus 35k dofs): after an RCM reordering
+(native/meshkit) the FEM operator has half-bandwidth b ~ 1.1-1.3k, so it is
+stored as a BLOCK-banded matrix — (nbk, 2W+1, nb, nb) complex-pair blocks
+with W = ceil(b/nb) — and factored by a right-looking block LU:
+
+    for k:  invD_k = (U_kk)^{-1}                (real-embedding QR inverse)
+            L_{k+i,k}   = A_{k+i,k} invD_k      (MXU)
+            A_{k+i,k+j} -= L_{k+i,k} U_{k,k+j}  (MXU)
+
+Everything runs inside one jitted lax.fori_loop; the W^2 trailing updates are
+(nb x nb) complex matmuls, so the factorization is MXU-bound (~1e12 flops for
+the 35k-dof cases).  No pivoting: the factorization shift is nudged off the
+real axis (sigma_fact = sigma*(1+i*eps)) when the target is (near-)real —
+shift-invert Arnoldi is exact at ANY non-eigenvalue shift, so this costs
+nothing while keeping the no-pivot factorization away from singularity.
+
+Replaces the SuperLU host interim (solvers/linsolve.SparseShiftedFactor) and
+ultimately the reference's PETSc LU inside SLEPc (eigensolvers.py:49-55).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cplx import Z
+
+
+class BandedFactor(NamedTuple):
+    """LU factors in block-band storage + permutation.  A pure array pytree —
+    nb/W/nbkp are derived from (static) shapes inside jit; the true dof count
+    n travels as a static argument of the solves."""
+
+    band_re: jnp.ndarray  # (nbkp, 2W+1, nb, nb) — L below, U on/above diag
+    band_im: jnp.ndarray
+    invd_re: jnp.ndarray  # (nbkp, nb, nb) inverses of the U diagonal blocks
+    invd_im: jnp.ndarray
+    perm: jnp.ndarray  # (npad,) RCM permutation (original -> banded order)
+    iperm: jnp.ndarray
+
+    @property
+    def nb(self) -> int:
+        return self.band_re.shape[2]
+
+    @property
+    def W(self) -> int:
+        return (self.band_re.shape[1] - 1) // 2
+
+
+def _zmm(ar, ai, br, bi):
+    return ar @ br - ai @ bi, ar @ bi + ai @ br
+
+
+def build_band(sp_mat, perm: np.ndarray, nb: int = 256):
+    """Pack a scipy sparse matrix (already complex) into block-band arrays
+    under the permutation `perm`.  Returns host numpy arrays + geometry."""
+    import scipy.sparse as sp
+
+    n = sp_mat.shape[0]
+    a = sp.coo_matrix(sp_mat)
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+    r = inv[a.row]
+    c = inv[a.col]
+    bw = int(np.abs(r - c).max())
+    W = max(1, -(-bw // nb))
+    nbk = -(-n // nb)
+    nbkp = nbk + W  # padding block rows so the factor loops never branch
+    npad = nbkp * nb
+    band_re = np.zeros((nbkp, 2 * W + 1, nb, nb))
+    band_im = np.zeros((nbkp, 2 * W + 1, nb, nb))
+    br = r // nb
+    bc = c // nb
+    slot = bc - br + W
+    lr = r % nb
+    lc = c % nb
+    np.add.at(band_re, (br, slot, lr, lc), a.data.real)
+    np.add.at(band_im, (br, slot, lr, lc), a.data.imag)
+    # identity on padding dofs (rows n..npad)
+    for i in range(n, npad):
+        band_re[i // nb, W, i % nb, i % nb] = 1.0
+    return band_re, band_im, W, nbk, nbkp, npad
+
+
+@partial(jax.jit, static_argnames=("W", "nbk"))
+def _factor_band(band_re, band_im, W: int, nbk: int):
+    nb = band_re.shape[2]
+
+    def inv_block(dr, di):
+        e = jnp.concatenate(
+            [jnp.concatenate([dr, -di], axis=1), jnp.concatenate([di, dr], axis=1)],
+            axis=0)
+        q, r = jnp.linalg.qr(e)
+        m = jax.scipy.linalg.solve_triangular(r, q.T, lower=False)
+        return m[:nb, :nb], m[nb:, :nb]  # (re, im) of the complex inverse
+
+    def body(k, carry):
+        bre, bim, idr, idi = carry
+        dr = jax.lax.dynamic_index_in_dim(bre, k, 0, keepdims=False)[W]
+        di = jax.lax.dynamic_index_in_dim(bim, k, 0, keepdims=False)[W]
+        ir, ii = inv_block(dr, di)
+        idr = jax.lax.dynamic_update_index_in_dim(idr, ir, k, 0)
+        idi = jax.lax.dynamic_update_index_in_dim(idi, ii, k, 0)
+        urow_re = jax.lax.dynamic_index_in_dim(bre, k, 0, keepdims=False)
+        urow_im = jax.lax.dynamic_index_in_dim(bim, k, 0, keepdims=False)
+        for i in range(1, W + 1):
+            rowi_re = jax.lax.dynamic_index_in_dim(bre, k + i, 0, keepdims=False)
+            rowi_im = jax.lax.dynamic_index_in_dim(bim, k + i, 0, keepdims=False)
+            lr_, li_ = _zmm(rowi_re[W - i], rowi_im[W - i], ir, ii)
+            rowi_re = rowi_re.at[W - i].set(lr_)
+            rowi_im = rowi_im.at[W - i].set(li_)
+            for j in range(1, W + 1):
+                ur, ui = urow_re[W + j], urow_im[W + j]
+                pr, pi = _zmm(lr_, li_, ur, ui)
+                rowi_re = rowi_re.at[W - i + j].add(-pr)
+                rowi_im = rowi_im.at[W - i + j].add(-pi)
+            bre = jax.lax.dynamic_update_index_in_dim(bre, rowi_re, k + i, 0)
+            bim = jax.lax.dynamic_update_index_in_dim(bim, rowi_im, k + i, 0)
+        return bre, bim, idr, idi
+
+    nbkp = band_re.shape[0]
+    idr = jnp.zeros((nbkp, nb, nb))
+    idi = jnp.zeros((nbkp, nb, nb))
+    bre, bim, idr, idi = jax.lax.fori_loop(0, nbk, body, (band_re, band_im, idr, idi))
+    return bre, bim, idr, idi
+
+
+def factor_banded(sp_mat, perm: np.ndarray, nb: int = 256) -> BandedFactor:
+    band_re, band_im, W, nbk, nbkp, npad = build_band(sp_mat, perm, nb)
+    bre, bim, idr, idi = _factor_band(jnp.asarray(band_re), jnp.asarray(band_im),
+                                      W, nbk)
+    n = sp_mat.shape[0]
+    perm_pad = np.concatenate([perm, np.arange(n, npad)])
+    iperm = np.empty(npad, dtype=np.int64)
+    iperm[perm_pad] = np.arange(npad)
+    return BandedFactor(band_re=bre, band_im=bim, invd_re=idr, invd_im=idi,
+                        perm=jnp.asarray(perm_pad), iperm=jnp.asarray(iperm)), n
+
+
+def _zmv(ar, ai, xr, xi):
+    return ar @ xr - ai @ xi, ar @ xi + ai @ xr
+
+
+def banded_solve(f: BandedFactor, b: Z, n: int) -> Z:
+    """x = P^{-1} b (block forward/back substitution, jitted)."""
+    return _banded_solve_impl(f, b.re, b.im, False, n)
+
+
+def banded_solve_H(f: BandedFactor, b: Z, n: int) -> Z:
+    """x = P^{-H} b."""
+    return _banded_solve_impl(f, b.re, b.im, True, n)
+
+
+@partial(jax.jit, static_argnames=("hermitian", "n"))
+def _banded_solve_impl(f: BandedFactor, bre, bim, hermitian: bool, n: int):
+    nb, W = f.nb, f.W
+    nbkp = f.band_re.shape[0]
+    npad = nbkp * nb
+    # pad and permute into banded order
+    xr = jnp.zeros(npad).at[: bre.shape[0]].set(bre)[f.perm].reshape(nbkp, nb)
+    xi = jnp.zeros(npad).at[: bim.shape[0]].set(bim)[f.perm].reshape(nbkp, nb)
+
+    if not hermitian:
+        # L y = b (unit diagonal): y_r = b_r - sum_i L_{r,r-i} y_{r-i}
+        def fwd(r, y):
+            yr, yi = y
+            acc_r = xr[r]
+            acc_i = xi[r]
+            row_re = jax.lax.dynamic_index_in_dim(f.band_re, r, 0, keepdims=False)
+            row_im = jax.lax.dynamic_index_in_dim(f.band_im, r, 0, keepdims=False)
+            for i in range(1, W + 1):
+                pr_ = jax.lax.dynamic_index_in_dim(yr, r - i, 0, keepdims=False)
+                pi_ = jax.lax.dynamic_index_in_dim(yi, r - i, 0, keepdims=False)
+                valid = (r - i) >= 0
+                pr_ = jnp.where(valid, pr_, 0.0)
+                pi_ = jnp.where(valid, pi_, 0.0)
+                mr, mi = _zmv(row_re[W - i], row_im[W - i], pr_, pi_)
+                acc_r = acc_r - mr
+                acc_i = acc_i - mi
+            yr = jax.lax.dynamic_update_index_in_dim(yr, acc_r, r, 0)
+            yi = jax.lax.dynamic_update_index_in_dim(yi, acc_i, r, 0)
+            return yr, yi
+
+        yr, yi = jax.lax.fori_loop(0, nbkp, fwd, (jnp.zeros_like(xr), jnp.zeros_like(xi)))
+
+        # U x = y: x_k = invD_k (y_k - sum_j U_{k,k+j} x_{k+j})
+        def bwd(t, x):
+            k = nbkp - 1 - t
+            xr_, xi_ = x
+            acc_r = jax.lax.dynamic_index_in_dim(yr, k, 0, keepdims=False)
+            acc_i = jax.lax.dynamic_index_in_dim(yi, k, 0, keepdims=False)
+            row_re = jax.lax.dynamic_index_in_dim(f.band_re, k, 0, keepdims=False)
+            row_im = jax.lax.dynamic_index_in_dim(f.band_im, k, 0, keepdims=False)
+            for j in range(1, W + 1):
+                idx = jnp.minimum(k + j, nbkp - 1)
+                pr_ = jax.lax.dynamic_index_in_dim(xr_, idx, 0, keepdims=False)
+                pi_ = jax.lax.dynamic_index_in_dim(xi_, idx, 0, keepdims=False)
+                valid = (k + j) < nbkp
+                pr_ = jnp.where(valid, pr_, 0.0)
+                pi_ = jnp.where(valid, pi_, 0.0)
+                mr, mi = _zmv(row_re[W + j], row_im[W + j], pr_, pi_)
+                acc_r = acc_r - mr
+                acc_i = acc_i - mi
+            ir = jax.lax.dynamic_index_in_dim(f.invd_re, k, 0, keepdims=False)
+            ii = jax.lax.dynamic_index_in_dim(f.invd_im, k, 0, keepdims=False)
+            sr, si = _zmv(ir, ii, acc_r, acc_i)
+            xr_ = jax.lax.dynamic_update_index_in_dim(xr_, sr, k, 0)
+            xi_ = jax.lax.dynamic_update_index_in_dim(xi_, si, k, 0)
+            return xr_, xi_
+
+        sr, si = jax.lax.fori_loop(0, nbkp, bwd, (jnp.zeros_like(xr), jnp.zeros_like(xi)))
+    else:
+        # P^H = U^H L^H.  U^H z = b (lower, diag U_kk^H):
+        # z_r = invD_r^H (b_r - sum_i U_{r-i,r}^H z_{r-i})
+        def fwd(r, y):
+            yr, yi = y
+            acc_r = xr[r]
+            acc_i = xi[r]
+            for i in range(1, W + 1):
+                src = jnp.maximum(r - i, 0)
+                row_re = jax.lax.dynamic_index_in_dim(f.band_re, src, 0, keepdims=False)
+                row_im = jax.lax.dynamic_index_in_dim(f.band_im, src, 0, keepdims=False)
+                pr_ = jax.lax.dynamic_index_in_dim(yr, src, 0, keepdims=False)
+                pi_ = jax.lax.dynamic_index_in_dim(yi, src, 0, keepdims=False)
+                valid = (r - i) >= 0
+                pr_ = jnp.where(valid, pr_, 0.0)
+                pi_ = jnp.where(valid, pi_, 0.0)
+                # (U_{r-i, r})^H = conj(transpose of slot W+i of row r-i)
+                mr, mi = _zmv(row_re[W + i].T, -row_im[W + i].T, pr_, pi_)
+                acc_r = acc_r - mr
+                acc_i = acc_i - mi
+            ir = jax.lax.dynamic_index_in_dim(f.invd_re, r, 0, keepdims=False)
+            ii = jax.lax.dynamic_index_in_dim(f.invd_im, r, 0, keepdims=False)
+            sr_, si_ = _zmv(ir.T, -ii.T, acc_r, acc_i)
+            yr = jax.lax.dynamic_update_index_in_dim(yr, sr_, r, 0)
+            yi = jax.lax.dynamic_update_index_in_dim(yi, si_, r, 0)
+            return yr, yi
+
+        zr, zi = jax.lax.fori_loop(0, nbkp, fwd, (jnp.zeros_like(xr), jnp.zeros_like(xi)))
+
+        # L^H x = z (unit upper): x_k = z_k - sum_j L_{k+j,k}^H x_{k+j}
+        def bwd(t, x):
+            k = nbkp - 1 - t
+            xr_, xi_ = x
+            acc_r = jax.lax.dynamic_index_in_dim(zr, k, 0, keepdims=False)
+            acc_i = jax.lax.dynamic_index_in_dim(zi, k, 0, keepdims=False)
+            for j in range(1, W + 1):
+                src = jnp.minimum(k + j, nbkp - 1)
+                row_re = jax.lax.dynamic_index_in_dim(f.band_re, src, 0, keepdims=False)
+                row_im = jax.lax.dynamic_index_in_dim(f.band_im, src, 0, keepdims=False)
+                pr_ = jax.lax.dynamic_index_in_dim(xr_, src, 0, keepdims=False)
+                pi_ = jax.lax.dynamic_index_in_dim(xi_, src, 0, keepdims=False)
+                valid = (k + j) < nbkp
+                pr_ = jnp.where(valid, pr_, 0.0)
+                pi_ = jnp.where(valid, pi_, 0.0)
+                mr, mi = _zmv(row_re[W - j].T, -row_im[W - j].T, pr_, pi_)
+                acc_r = acc_r - mr
+                acc_i = acc_i - mi
+            xr_ = jax.lax.dynamic_update_index_in_dim(xr_, acc_r, k, 0)
+            xi_ = jax.lax.dynamic_update_index_in_dim(xi_, acc_i, k, 0)
+            return xr_, xi_
+
+        sr, si = jax.lax.fori_loop(0, nbkp, bwd, (jnp.zeros_like(xr), jnp.zeros_like(xi)))
+
+    out_r = sr.reshape(-1)[f.iperm][:n]
+    out_i = si.reshape(-1)[f.iperm][:n]
+    return Z(out_r, out_i)

