@@ -41,14 +41,21 @@ class DenseFactor(NamedTuple):
     n: int
 
 
+# Split into two jits: each compiles (and caches) independently — the fused
+# QR+solve graph takes an order of magnitude longer to compile on the remote
+# TPU toolchain than the two stages separately.
+_qr = jax.jit(jnp.linalg.qr)
+
+
 @jax.jit
-def _invert(e: jnp.ndarray) -> jnp.ndarray:
-    q, r = jnp.linalg.qr(e)
-    return jsl.solve_triangular(r, q.T, lower=False)
+def _tri_inv(r: jnp.ndarray, qt: jnp.ndarray) -> jnp.ndarray:
+    return jsl.solve_triangular(r, qt, lower=False)
 
 
 def factor_dense(P: Z) -> DenseFactor:
-    return DenseFactor(minv=_invert(embed_real(P)), n=P.re.shape[0])
+    e = embed_real(P)
+    q, r = _qr(e)
+    return DenseFactor(minv=_tri_inv(r, q.T), n=P.re.shape[0])
 
 
 @jax.jit
