@@ -35,10 +35,15 @@ from .cplx import Z, embed_real, embed_vec, unembed_vec
 
 
 class DenseFactor(NamedTuple):
-    """Explicit inverse of the real embedding of a complex matrix."""
+    """Explicit complex inverse M = P^{-1} as an (re, im) pair.
 
-    minv: jnp.ndarray  # (2n, 2n) = R^{-1} Q^T
-    n: int
+    Computed via QR of the real embedding; since E(P)^{-1} = E(P^{-1}), the
+    complex inverse is read off the first block column of the embedded
+    inverse — pair-form matvecs then cost HALF the flops of multiplying by
+    the (2n x 2n) embedded inverse (which stores every entry twice)."""
+
+    mre: jnp.ndarray  # (n, n)
+    mim: jnp.ndarray
 
 
 # Split into two jits: each compiles (and caches) independently — the fused
@@ -53,26 +58,30 @@ def _tri_inv(r: jnp.ndarray, qt: jnp.ndarray) -> jnp.ndarray:
 
 
 def factor_dense(P: Z) -> DenseFactor:
+    n = P.re.shape[0]
     e = embed_real(P)
     q, r = _qr(e)
-    return DenseFactor(minv=_tri_inv(r, q.T), n=P.re.shape[0])
+    minv = _tri_inv(r, q.T)
+    return DenseFactor(mre=minv[:n, :n], mim=minv[n:, :n])
 
 
 @jax.jit
-def _solve(minv, be):
-    return minv @ be
+def _mv(mre, mim, br, bi):
+    """Complex pair matvec/matmat: (mre + i mim)(br + i bi)."""
+    return mre @ br - mim @ bi, mre @ bi + mim @ br
 
 
 @jax.jit
-def _solve_T(minv, be):
-    return minv.T @ be
+def _mv_H(mre, mim, br, bi):
+    """Conjugate-transpose matvec: M^H b."""
+    return mre.T @ br + mim.T @ bi, mre.T @ bi - mim.T @ br
 
 
 def dense_solve(f: DenseFactor, b: Z) -> Z:
     """x = P^{-1} b."""
-    return unembed_vec(_solve(f.minv, embed_vec(b)))
+    return Z(*_mv(f.mre, f.mim, b.re, b.im))
 
 
 def dense_solve_H(f: DenseFactor, b: Z) -> Z:
-    """x = P^{-H} b."""
-    return unembed_vec(_solve_T(f.minv, embed_vec(b)))
+    """x = P^{-H} b (inverse of P^H is (P^{-1})^H = M^H)."""
+    return Z(*_mv_H(f.mre, f.mim, b.re, b.im))

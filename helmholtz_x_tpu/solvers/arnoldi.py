@@ -45,13 +45,13 @@ _BREAKDOWN = 1e-290
 
 
 class EpsOp(NamedTuple):
-    minv: jnp.ndarray  # explicit inverse of the embedded shifted operator
+    minv: Z  # explicit complex inverse of the shifted operator (pair form)
     C: CSR
     wb: Woodbury
 
 
 class PepOp(NamedTuple):
-    minv: jnp.ndarray
+    minv: Z
     B: CSR
     C: CSR
     sig: Z  # 0-d shift
@@ -68,24 +68,19 @@ def _kT_matvec(M: Z, x: Z) -> Z:
     return Z(M.re.T @ x.re - M.im.T @ x.im, M.re.T @ x.im + M.im.T @ x.re)
 
 
-def _solve_wb(minv, wb: Woodbury, b: Z) -> Z:
+def _solve_wb(minv: Z, wb: Woodbury, b: Z) -> Z:
     """(P - s L R^T)^{-1} b via the explicit inverse + Woodbury correction."""
-    be = jnp.concatenate([b.re, b.im])
-    ye = minv @ be
-    n = b.re.shape[0]
-    y = Z(ye[:n], ye[n:])
+    y = Z(minv.re @ b.re - minv.im @ b.im, minv.re @ b.im + minv.im @ b.re)
     t = _kT_matvec(wb.R, y)  # R^T y
     c = _k_matvec(wb.cap, t)
     corr = _k_matvec(wb.W, c)
     return Z(y.re + corr.re, y.im + corr.im)
 
 
-def _solve_wb_H(minv, wb: Woodbury, b: Z) -> Z:
-    """(P - s L R^T)^{-H} b (transpose of the embedded inverse)."""
-    be = jnp.concatenate([b.re, b.im])
-    ye = minv.T @ be
-    n = b.re.shape[0]
-    y = Z(ye[:n], ye[n:])
+def _solve_wb_H(minv: Z, wb: Woodbury, b: Z) -> Z:
+    """(P - s L R^T)^{-H} b: M^H matvec + the H-side Woodbury correction."""
+    y = Z(minv.re.T @ b.re + minv.im.T @ b.im,
+          minv.re.T @ b.im - minv.im.T @ b.re)
     t = _kT_matvec(wb.Lc, y)  # conj(L)^T y
     c = _k_matvec(wb.caph, t)
     corr = _k_matvec(wb.Wh, c)
@@ -283,7 +278,8 @@ def eps_solver(A: CSR, C: CSR, target: complex, nev: int = 2,
         nus, ys, rel, Vnp, j = _run_arnoldi(None, "eps", n, nev, tol, mmax,
                                             host_apply=apply_fn)
     else:
-        op = EpsOp(minv=factor.fac.minv, C=C, wb=factor.woodbury)
+        op = EpsOp(minv=Z(factor.fac.mre, factor.fac.mim), C=C,
+                   wb=factor.woodbury)
         nus, ys, rel, Vnp, j = _run_arnoldi(op, "eps", n, nev, tol, mmax)
     lams = sigma + 1.0 / nus
     nkeep = min(max(nev, 2), len(lams))
@@ -351,7 +347,7 @@ def pep_solver(A: CSR, B: CSR, C: CSR, target: complex, nev: int = 2,
         nus, ys, rel, Vnp, j = _run_arnoldi(None, "pep", 2 * n, nev, tol, mmax,
                                             host_apply=apply_fn)
     else:
-        op = PepOp(minv=factor.fac.minv, B=B, C=C,
+        op = PepOp(minv=Z(factor.fac.mre, factor.fac.mim), B=B, C=C,
                    sig=Z(jnp.asarray(sigma.real), jnp.asarray(sigma.imag)),
                    wb=factor.woodbury)
         nus, ys, rel, Vnp, j = _run_arnoldi(op, "pep", 2 * n, nev, tol, mmax)
