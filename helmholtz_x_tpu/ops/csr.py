@@ -53,6 +53,16 @@ class CSR(NamedTuple):
         return Z(dr, di)
 
 
+def csr_empty(n: int) -> CSR:
+    """All-zero CSR (used as the absent-B placeholder in solver pytrees)."""
+    return CSR(
+        indptr=jnp.zeros(n + 1, jnp.int32),
+        indices=jnp.zeros(0, jnp.int32),
+        rows=jnp.zeros(0, jnp.int32),
+        data=Z(jnp.zeros(0), jnp.zeros(0)),
+    )
+
+
 def csr_from_scipy(mat) -> CSR:
     import scipy.sparse as sp
 

@@ -57,9 +57,13 @@ def _tri_inv(r: jnp.ndarray, qt: jnp.ndarray) -> jnp.ndarray:
     return jsl.solve_triangular(r, qt, lower=False)
 
 
-def factor_dense(P: Z) -> DenseFactor:
+def factor_dense(P: Z, dtype=jnp.float64) -> DenseFactor:
+    """Factor at `dtype`.  On TPU, f64 QR is software-emulated (~25s at
+    n=3000 on v5e) while f32 runs at MXU speed; the callers recover f64
+    accuracy with iterative refinement against the exact operator
+    (solvers/arnoldi._solve_wb), the classic mixed-precision direct solve."""
     n = P.re.shape[0]
-    e = embed_real(P)
+    e = embed_real(P).astype(dtype)
     q, r = _qr(e)
     minv = _tri_inv(r, q.T)
     return DenseFactor(mre=minv[:n, :n], mim=minv[n:, :n])

@@ -123,6 +123,70 @@ def _pdot_c(ar, ai, br, bi):
     return re, im
 
 
+def make_dist_gmres_solve(mesh: Mesh, A_sh: ShardedCSR, n_local: int,
+                          n_devices: int, m_krylov: int = 30):
+    """Jitted distributed GMRES(m) solve A x = b from x0 = 0: returns the
+    (unnormalized) minimizer over the m-dimensional Krylov space.  Same
+    communication pattern as the training step (all_gather SpMV, psum dots);
+    restart logic lives on the host."""
+
+    def solve_local(Ar, bre, bim):
+        bre, bim = bre[0], bim[0]
+
+        def spmv(vr, vi):
+            vgr = jax.lax.all_gather(vr, AXIS, tiled=True)
+            vgi = jax.lax.all_gather(vi, AXIS, tiled=True)
+            return _local_spmv(Ar, vgr, vgi, n_local)
+
+        Vr = jnp.zeros((m_krylov + 1, n_local))
+        Vi = jnp.zeros((m_krylov + 1, n_local))
+        nrm2 = jax.lax.psum(jnp.sum(bre * bre + bim * bim), AXIS)
+        beta = jnp.sqrt(nrm2)
+        inv = jnp.where(beta > 0, 1 / beta, 0.0)
+        Vr = Vr.at[0].set(bre * inv)
+        Vi = Vi.at[0].set(bim * inv)
+        H = jnp.zeros((m_krylov + 1, m_krylov, 2))
+
+        def body(j, carry):
+            Vr, Vi, H = carry
+            wr, wi = spmv(Vr[j], Vi[j])
+            hre = jax.lax.psum(Vr @ wr + Vi @ wi, AXIS)
+            him = jax.lax.psum(Vr @ wi - Vi @ wr, AXIS)
+            wr = wr - (Vr.T @ hre - Vi.T @ him)
+            wi = wi - (Vr.T @ him + Vi.T @ hre)
+            b2 = jax.lax.psum(jnp.sum(wr * wr + wi * wi), AXIS)
+            bj = jnp.sqrt(b2)
+            invj = jnp.where(bj > 1e-300, 1 / bj, 0.0)
+            Vr = Vr.at[j + 1].set(wr * invj)
+            Vi = Vi.at[j + 1].set(wi * invj)
+            hcol = jnp.stack([hre.at[j + 1].set(bj), him.at[j + 1].set(0.0)],
+                             axis=-1)
+            H = H.at[:, j, :].set(hcol)
+            return Vr, Vi, H
+
+        Vr, Vi, H = jax.lax.fori_loop(0, m_krylov, body, (Vr, Vi, H))
+        Hr, Hi = H[..., 0], H[..., 1]
+        nr = Hr.T @ Hr + Hi.T @ Hi
+        ni = Hr.T @ Hi - Hi.T @ Hr
+        rhs_r = Hr[0] * beta
+        rhs_i = -Hi[0] * beta
+        nmat = jnp.block([[nr, -ni], [ni, nr]]) + 1e-300 * jnp.eye(2 * m_krylov)
+        y = jnp.linalg.solve(nmat, jnp.concatenate([rhs_r, rhs_i]))
+        yr, yi = y[:m_krylov], y[m_krylov:]
+        xr = Vr[:m_krylov].T @ yr - Vi[:m_krylov].T @ yi
+        xi = Vr[:m_krylov].T @ yi + Vi[:m_krylov].T @ yr
+        return xr[None], xi[None]
+
+    from jax import shard_map
+
+    return jax.jit(shard_map(
+        solve_local, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+        out_specs=(P(AXIS, None), P(AXIS, None)),
+        check_vma=False,
+    ))
+
+
 def make_dist_gmres_step(mesh: Mesh, A_sh: ShardedCSR, C_sh: ShardedCSR,
                          n_local: int, n_devices: int, m_krylov: int = 8):
     """Build a jitted distributed 'training step': one inexact shift-invert

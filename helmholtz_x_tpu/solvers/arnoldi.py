@@ -32,7 +32,7 @@ import jax.scipy.linalg as jsl
 import numpy as np
 
 from ..ops.cplx import Z, zzeros
-from ..ops.csr import CSR, spmv, spmv_H
+from ..ops.csr import CSR, csr_empty, spmv, spmv_H
 from ..utils.logging import info
 from .linsolve import (
     ShiftedFactor,
@@ -44,18 +44,31 @@ from .linsolve import (
 _BREAKDOWN = 1e-290
 
 
-class EpsOp(NamedTuple):
-    minv: Z  # explicit complex inverse of the shifted operator (pair form)
+class SolveOp(NamedTuple):
+    """Everything needed to solve (P - s L R^T) x = b on device:
+    the (possibly reduced-precision) explicit inverse of P, the exact CSR
+    operands of P = A + cb*B + cc*C for iterative refinement, and the
+    Woodbury low-rank state."""
+
+    minv: Z  # inverse of P, possibly f32 (mixed precision)
+    A: CSR
+    B: CSR  # empty CSR when absent
     C: CSR
+    cb: Z  # 0-d coefficient of B
+    cc: Z  # 0-d coefficient of C
     wb: Woodbury
+
+
+class EpsOp(NamedTuple):
+    sv: SolveOp
+    C: CSR  # pencil mass (may be a sign-flipped copy)
 
 
 class PepOp(NamedTuple):
-    minv: Z
+    sv: SolveOp
     B: CSR
     C: CSR
     sig: Z  # 0-d shift
-    wb: Woodbury
 
 
 def _k_matvec(M: Z, x: Z) -> Z:
@@ -68,31 +81,81 @@ def _kT_matvec(M: Z, x: Z) -> Z:
     return Z(M.re.T @ x.re - M.im.T @ x.im, M.re.T @ x.im + M.im.T @ x.re)
 
 
-def _solve_wb(minv: Z, wb: Woodbury, b: Z) -> Z:
-    """(P - s L R^T)^{-1} b via the explicit inverse + Woodbury correction."""
-    y = Z(minv.re @ b.re - minv.im @ b.im, minv.re @ b.im + minv.im @ b.re)
+def _apply_P(sv: SolveOp, x: Z) -> Z:
+    """P x = A x + cb B x + cc C x (exact, f64)."""
+    ax = spmv(sv.A, x)
+    bx = spmv(sv.B, x)
+    cx = spmv(sv.C, x)
+    re = ax.re + (sv.cb.re * bx.re - sv.cb.im * bx.im)         + (sv.cc.re * cx.re - sv.cc.im * cx.im)
+    im = ax.im + (sv.cb.re * bx.im + sv.cb.im * bx.re)         + (sv.cc.re * cx.im + sv.cc.im * cx.re)
+    return Z(re, im)
+
+
+def _apply_P_H(sv: SolveOp, x: Z) -> Z:
+    """P^H x (conjugated coefficients, conjugate-transposed CSRs)."""
+    ax = spmv_H(sv.A, x)
+    bx = spmv_H(sv.B, x)
+    cx = spmv_H(sv.C, x)
+    re = ax.re + (sv.cb.re * bx.re + sv.cb.im * bx.im)         + (sv.cc.re * cx.re + sv.cc.im * cx.im)
+    im = ax.im + (sv.cb.re * bx.im - sv.cb.im * bx.re)         + (sv.cc.re * cx.im - sv.cc.im * cx.re)
+    return Z(re, im)
+
+
+def _minv_mv(minv: Z, b: Z) -> Z:
+    d = minv.re.dtype
+    br = b.re.astype(d)
+    bi = b.im.astype(d)
+    return Z((minv.re @ br - minv.im @ bi).astype(jnp.float64),
+             (minv.re @ bi + minv.im @ br).astype(jnp.float64))
+
+
+def _minv_mv_H(minv: Z, b: Z) -> Z:
+    d = minv.re.dtype
+    br = b.re.astype(d)
+    bi = b.im.astype(d)
+    return Z((minv.re.T @ br + minv.im.T @ bi).astype(jnp.float64),
+             (minv.re.T @ bi - minv.im.T @ br).astype(jnp.float64))
+
+
+def _solve_wb(sv: SolveOp, b: Z, nrefine: int) -> Z:
+    """(P - s L R^T)^{-1} b: explicit-inverse matvec, `nrefine` steps of
+    iterative refinement against the exact f64 operator (recovers f64
+    accuracy from an f32 factor — the mixed-precision direct solve), then
+    the Woodbury correction."""
+    y = _minv_mv(sv.minv, b)
+    for _ in range(nrefine):
+        py = _apply_P(sv, y)
+        r = Z(b.re - py.re, b.im - py.im)
+        dy = _minv_mv(sv.minv, r)
+        y = Z(y.re + dy.re, y.im + dy.im)
+    wb = sv.wb
     t = _kT_matvec(wb.R, y)  # R^T y
     c = _k_matvec(wb.cap, t)
     corr = _k_matvec(wb.W, c)
     return Z(y.re + corr.re, y.im + corr.im)
 
 
-def _solve_wb_H(minv: Z, wb: Woodbury, b: Z) -> Z:
-    """(P - s L R^T)^{-H} b: M^H matvec + the H-side Woodbury correction."""
-    y = Z(minv.re.T @ b.re + minv.im.T @ b.im,
-          minv.re.T @ b.im - minv.im.T @ b.re)
+def _solve_wb_H(sv: SolveOp, b: Z, nrefine: int) -> Z:
+    """(P - s L R^T)^{-H} b with the same refinement scheme."""
+    y = _minv_mv_H(sv.minv, b)
+    for _ in range(nrefine):
+        py = _apply_P_H(sv, y)
+        r = Z(b.re - py.re, b.im - py.im)
+        dy = _minv_mv_H(sv.minv, r)
+        y = Z(y.re + dy.re, y.im + dy.im)
+    wb = sv.wb
     t = _kT_matvec(wb.Lc, y)  # conj(L)^T y
     c = _k_matvec(wb.caph, t)
     corr = _k_matvec(wb.Wh, c)
     return Z(y.re + corr.re, y.im + corr.im)
 
 
-def _apply(op, v: Z, mode: str) -> Z:
+def _apply(op, v: Z, mode: str, nrefine: int) -> Z:
     if mode == "eps":
         mv = spmv(op.C, v)
-        return _solve_wb(op.minv, op.wb, Z(-mv.re, -mv.im))
+        return _solve_wb(op.sv, Z(-mv.re, -mv.im), nrefine)
     if mode == "epsH":
-        y = _solve_wb_H(op.minv, op.wb, v)
+        y = _solve_wb_H(op.sv, v, nrefine)
         mv = spmv_H(op.C, y)
         return Z(-mv.re, -mv.im)
     if mode == "pep":
@@ -104,7 +167,7 @@ def _apply(op, v: Z, mode: str) -> Z:
         cv = spmv(op.C, Z(v2.re + sv1.re, v2.im + sv1.im))
         bv = spmv(op.B, v1)
         rhs = Z(bv.re + cv.re, bv.im + cv.im)
-        z1 = _solve_wb(op.minv, op.wb, rhs)
+        z1 = _solve_wb(op.sv, rhs, nrefine)
         z1 = Z(-z1.re, -z1.im)
         sz1 = Z(op.sig.re * z1.re - op.sig.im * z1.im,
                 op.sig.re * z1.im + op.sig.im * z1.re)
@@ -113,8 +176,8 @@ def _apply(op, v: Z, mode: str) -> Z:
     raise ValueError(mode)
 
 
-@partial(jax.jit, static_argnames=("mode",))
-def _arnoldi_chunk(op, V: Z, H: Z, j0, j1, mode: str):
+@partial(jax.jit, static_argnames=("mode", "nrefine"))
+def _arnoldi_chunk(op, V: Z, H: Z, j0, j1, mode: str, nrefine: int = 0):
     """Expand the Arnoldi decomposition from step j0 to j1 (exclusive).
 
     V: (mmax+1, n) basis rows (rows > current step are zero);
@@ -124,7 +187,7 @@ def _arnoldi_chunk(op, V: Z, H: Z, j0, j1, mode: str):
     def body(j, state):
         V, H = state
         v = Z(V.re[j], V.im[j])
-        w = _apply(op, v, mode)
+        w = _apply(op, v, mode, nrefine)
         # CGS2: two classical Gram-Schmidt passes against all rows (zero rows
         # contribute nothing).
         h_tot_re = jnp.zeros(V.re.shape[0])
@@ -194,7 +257,8 @@ def _host_expand(apply_fn, Vnp, Hnp, j0, j1):
 
 
 def _run_arnoldi(op, mode: str, n: int, nev: int, tol: float, mmax: int,
-                 chunk: int = 24, seed: int = 7, host_apply=None):
+                 chunk: int = 24, seed: int = 7, host_apply=None,
+                 nrefine: int = 0):
     """Drive Arnoldi expansion chunks until the nev wanted Ritz pairs
     converge.  Device path: jitted `_arnoldi_chunk` on `op`; host path
     (``host_apply`` given): numpy expansion for the sparse-LU tier.
@@ -221,7 +285,7 @@ def _run_arnoldi(op, mode: str, n: int, nev: int, tol: float, mmax: int,
             Vh, Hh = _host_expand(host_apply, Vh, Hh, j, j1)
             Hnp = Hh[: j1 + 1, :j1]
         else:
-            V, H = _arnoldi_chunk(op, V, H, j, j1, mode)
+            V, H = _arnoldi_chunk(op, V, H, j, j1, mode, nrefine)
             Hnp = np.asarray(H.re)[: j1 + 1, :j1] + 1j * np.asarray(H.im)[: j1 + 1, :j1]
         j = j1
         # happy breakdown -> exact invariant subspace
@@ -278,9 +342,9 @@ def eps_solver(A: CSR, C: CSR, target: complex, nev: int = 2,
         nus, ys, rel, Vnp, j = _run_arnoldi(None, "eps", n, nev, tol, mmax,
                                             host_apply=apply_fn)
     else:
-        op = EpsOp(minv=Z(factor.fac.mre, factor.fac.mim), C=C,
-                   wb=factor.woodbury)
-        nus, ys, rel, Vnp, j = _run_arnoldi(op, "eps", n, nev, tol, mmax)
+        op = EpsOp(sv=factor.solve_op(), C=C)
+        nus, ys, rel, Vnp, j = _run_arnoldi(op, "eps", n, nev, tol, mmax,
+                                            nrefine=factor.nrefine)
     lams = sigma + 1.0 / nus
     nkeep = min(max(nev, 2), len(lams))
     vecs = (Vnp.T @ ys[:, :nkeep])
@@ -296,7 +360,8 @@ def eps_solver(A: CSR, C: CSR, target: complex, nev: int = 2,
                                                      host_apply=applyH)
         else:
             nusL, ysL, relL, VnpL, jL = _run_arnoldi(op, "epsH", n, nev, tol,
-                                                     mmax, seed=11)
+                                                     mmax, seed=11,
+                                                     nrefine=factor.nrefine)
         # left Ritz values approximate conj(nu); match to the right ones
         left = np.zeros((n, nkeep), dtype=np.complex128)
         for i in range(nkeep):
@@ -305,8 +370,8 @@ def eps_solver(A: CSR, C: CSR, target: complex, nev: int = 2,
             if host:
                 yv = factor.solve_wb_H(u)
             else:
-                y = _solve_wb_H(op.minv, op.wb,
-                                Z(jnp.asarray(u.real), jnp.asarray(u.imag)))
+                y = _solve_wb_H(op.sv, Z(jnp.asarray(u.real), jnp.asarray(u.imag)),
+                                factor.nrefine)
                 yv = np.asarray(y.re) + 1j * np.asarray(y.im)
             left[:, i] = yv / np.linalg.norm(yv)
         res.left_vectors = left
@@ -347,10 +412,10 @@ def pep_solver(A: CSR, B: CSR, C: CSR, target: complex, nev: int = 2,
         nus, ys, rel, Vnp, j = _run_arnoldi(None, "pep", 2 * n, nev, tol, mmax,
                                             host_apply=apply_fn)
     else:
-        op = PepOp(minv=Z(factor.fac.mre, factor.fac.mim), B=B, C=C,
-                   sig=Z(jnp.asarray(sigma.real), jnp.asarray(sigma.imag)),
-                   wb=factor.woodbury)
-        nus, ys, rel, Vnp, j = _run_arnoldi(op, "pep", 2 * n, nev, tol, mmax)
+        op = PepOp(sv=factor.solve_op(), B=B, C=C,
+                   sig=Z(jnp.asarray(sigma.real), jnp.asarray(sigma.imag)))
+        nus, ys, rel, Vnp, j = _run_arnoldi(op, "pep", 2 * n, nev, tol, mmax,
+                                            nrefine=factor.nrefine)
     lams = sigma + 1.0 / nus
     nkeep = min(max(nev, 2), len(lams))
     vecs2 = (Vnp.T @ ys[:, :nkeep])

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cplx import Z, zarray
-from ..ops.csr import CSR
+from ..ops.csr import CSR, csr_empty, spmv, spmv_H
 from ..ops.dense import DenseFactor, dense_solve, dense_solve_H, factor_dense
 
 
@@ -68,12 +68,48 @@ class Woodbury(NamedTuple):
     Lc: Z  # (n, k)  conj(L)
 
 
-class ShiftedFactor:
-    """Factorization of P(sigma) with a pluggable low-rank correction."""
+def _mixed_precision_default() -> bool:
+    import os
 
-    def __init__(self, P: Z):
-        self.n = P.re.shape[0]
-        self.fac: DenseFactor = factor_dense(P)
+    import jax
+
+    flag = os.environ.get("HELMHOLTZ_X_TPU_MIXED", "auto")
+    if flag == "auto":
+        # f64 QR is software-emulated (seconds) on TPU; f32 factor + f64
+        # iterative refinement is the native fast path there.  On CPU f64
+        # LAPACK is fast and exact — no refinement needed.
+        return jax.default_backend() != "cpu"
+    return flag not in ("0", "false", "no")
+
+
+class ShiftedFactor:
+    """Factorization of P(sigma) = A + cb*B + cc*C with a pluggable low-rank
+    correction and optional mixed-precision refinement."""
+
+    def __init__(self, P: Z, terms=None, n: Optional[int] = None):
+        self.n = P.re.shape[0] if P is not None else n
+        if terms is not None:
+            terms = [(complex(c), m) for c, m in terms if m is not None and c != 0]
+            A = terms[0][1]
+            assert terms[0][0] == 1.0
+            if len(terms) == 2:
+                B, cb = None, 0.0
+                cc, C = terms[1]
+            else:
+                cb, B = terms[1]
+                cc, C = terms[2]
+            self._A, self._B, self._C = A, B, C
+            self._cb, self._cc = complex(cb), complex(cc)
+            self.mixed = _mixed_precision_default()
+        else:
+            self._A = self._B = self._C = None
+            self._cb = self._cc = 0.0
+            self.mixed = False
+        import jax.numpy as _jnp
+
+        dtype = _jnp.float32 if self.mixed else _jnp.float64
+        self.nrefine = 3 if self.mixed else 0
+        self.fac: DenseFactor = factor_dense(P, dtype=dtype)
         self._wb: Optional[Woodbury] = None
         self._L_np = None
         self._R_np = None
@@ -82,12 +118,70 @@ class ShiftedFactor:
         self._G = None  # R^T W (k, k)
         self._Gh = None  # conj(L)^T Wh
 
-    # -- plain P solves ----------------------------------------------------
+    @classmethod
+    def from_terms(cls, terms, n: int) -> "ShiftedFactor":
+        return cls(csr_weighted_dense(terms), terms=terms)
+
+    def solve_op(self):
+        """Device pytree for the jitted Arnoldi chunks (arnoldi.SolveOp)."""
+        from .arnoldi import SolveOp
+
+        A = self._A if self._A is not None else csr_empty(self.n)
+        B = self._B if self._B is not None else csr_empty(self.n)
+        C = self._C if self._C is not None else csr_empty(self.n)
+        import jax.numpy as _jnp
+
+        return SolveOp(
+            minv=Z(self.fac.mre, self.fac.mim), A=A, B=B, C=C,
+            cb=Z(_jnp.asarray(self._cb.real), _jnp.asarray(self._cb.imag)),
+            cc=Z(_jnp.asarray(self._cc.real), _jnp.asarray(self._cc.imag)),
+            wb=self.woodbury,
+        )
+
+    def _apply_P_np(self, x: np.ndarray) -> np.ndarray:
+        out = np.asarray(spmv(self._A, zarray(x)).to_numpy())
+        if self._B is not None and self._cb != 0:
+            out = out + self._cb * np.asarray(spmv(self._B, zarray(x)).to_numpy())
+        out = out + self._cc * np.asarray(spmv(self._C, zarray(x)).to_numpy())
+        return out
+
+    def _apply_P_H_np(self, x: np.ndarray) -> np.ndarray:
+        out = np.asarray(spmv_H(self._A, zarray(x)).to_numpy())
+        if self._B is not None and self._cb != 0:
+            out = out + np.conj(self._cb) * np.asarray(spmv_H(self._B, zarray(x)).to_numpy())
+        out = out + np.conj(self._cc) * np.asarray(spmv_H(self._C, zarray(x)).to_numpy())
+        return out
+
+    # -- plain P solves (setup path; refinement recovers f64 accuracy) -----
     def solve_P(self, b: Z) -> Z:
-        return dense_solve(self.fac, b)
+        y = dense_solve(self.fac, b)
+        if self.nrefine and self._A is not None:
+            bn = b.to_numpy()
+            yn = y.to_numpy()
+            for _ in range(self.nrefine):
+                if bn.ndim == 1:
+                    r = bn - self._apply_P_np(yn)
+                else:
+                    r = bn - np.stack([self._apply_P_np(yn[:, k])
+                                       for k in range(yn.shape[1])], axis=1)
+                yn = yn + dense_solve(self.fac, zarray(r)).to_numpy()
+            return zarray(yn)
+        return y
 
     def solve_P_H(self, b: Z) -> Z:
-        return dense_solve_H(self.fac, b)
+        y = dense_solve_H(self.fac, b)
+        if self.nrefine and self._A is not None:
+            bn = b.to_numpy()
+            yn = y.to_numpy()
+            for _ in range(self.nrefine):
+                if bn.ndim == 1:
+                    r = bn - self._apply_P_H_np(yn)
+                else:
+                    r = bn - np.stack([self._apply_P_H_np(yn[:, k])
+                                       for k in range(yn.shape[1])], axis=1)
+                yn = yn + dense_solve_H(self.fac, zarray(r)).to_numpy()
+            return zarray(yn)
+        return y
 
     # -- low-rank correction ----------------------------------------------
     def set_lowrank_factors(self, L: np.ndarray, R: np.ndarray, two_sided: bool = False):
@@ -280,7 +374,7 @@ SPARSE_TIER = __import__("os").environ.get("HELMHOLTZ_X_TPU_SPARSE_TIER", "auto"
 def build_shifted_factor(terms, n: int):
     """Factor P = sum coeff_i M_i with the tier appropriate for the size."""
     if n <= DENSE_DOF_LIMIT:
-        return ShiftedFactor(csr_weighted_dense(terms))
+        return ShiftedFactor.from_terms(terms, n)
     import jax
 
     tier = SPARSE_TIER

@@ -67,11 +67,10 @@ def test_woodbury_exactness():
     from helmholtz_x_tpu.solvers.arnoldi import _solve_wb, _solve_wb_H
 
     M = P - s * L @ R.T
-    from helmholtz_x_tpu.ops.cplx import Z as _Z
-    minv = _Z(f.fac.mre, f.fac.mim)
-    x = _solve_wb(minv, f.woodbury, zarray(b)).to_numpy()
+    sv = f.solve_op()
+    x = _solve_wb(sv, zarray(b), f.nrefine).to_numpy()
     assert np.linalg.norm(M @ x - b) / np.linalg.norm(b) < 1e-10
-    xh = _solve_wb_H(minv, f.woodbury, zarray(b)).to_numpy()
+    xh = _solve_wb_H(sv, zarray(b), f.nrefine).to_numpy()
     assert np.linalg.norm(M.conj().T @ xh - b) / np.linalg.norm(b) < 1e-10
 
 

@@ -74,3 +74,26 @@ def test_dist_step_matches_serial(mesh8):
     zfull[:n] = z
     rq_ref = np.vdot(zfull, Ap.tocsr() @ zfull) / np.vdot(zfull, zfull)
     assert abs(rq - rq_ref) / abs(rq_ref) < 1e-8
+
+
+def test_dist_eigensolve_matches_serial(mesh8):
+    """Serial vs sharded eigenvalue equality — the SURVEY §4 multi-device
+    correctness gate — on the 1D Rijke passive pencil."""
+    import numpy as np
+
+    from helmholtz_x_tpu.mesh import one_dimensional_setup
+    from helmholtz_x_tpu.fem.fields import c_step
+    from helmholtz_x_tpu.acoustics import AcousticMatrices
+    from helmholtz_x_tpu.solvers.arnoldi import eps_solver
+    from helmholtz_x_tpu.parallel.eigensolve import dist_eps_solve
+
+    mesh = one_dimensional_setup(300)
+    c = c_step(mesh, np.array([[0.25, 0, 0]]), 338.67, 338.67)
+    matrices = AcousticMatrices(mesh, {1: {"Neumann"}, 2: {"Neumann"}}, c)
+    target = 200 * 2 * np.pi
+    E = eps_solver(matrices.A, matrices.C, target, nev=2)
+    serial = E.getEigenvalue(0)
+
+    lams, _ = dist_eps_solve(matrices.A.to_scipy(), matrices.C.to_scipy(),
+                             target, mesh8, 8, nev=1)
+    assert abs(lams[0] - serial) / abs(serial) < 1e-7, (lams[0], serial)
