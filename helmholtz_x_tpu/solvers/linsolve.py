@@ -313,10 +313,10 @@ class BandedShiftedFactor:
 
     backend = "banded"
 
-    def __init__(self, P_scipy, nb: int = 256):
+    def __init__(self, P_scipy, nb: int | None = None, refine: int = 1):
         import scipy.sparse as sp
 
-        from ..native import rcm
+        from ..native import bandwidth, rcm
         from ..ops.banded import banded_solve, banded_solve_H, factor_banded
 
         a = sp.csr_matrix(P_scipy)
@@ -324,36 +324,45 @@ class BandedShiftedFactor:
             (np.ones(a.nnz), a.indices, a.indptr), shape=a.shape)
         sym = ((pattern + pattern.T) > 0).astype(np.float64).tocsr()
         perm = rcm(sym.indptr.astype(np.int64), sym.indices.astype(np.int64))
+        if nb is None:
+            coo = a.tocoo()
+            bw = bandwidth(coo.row.astype(np.int64), coo.col.astype(np.int64),
+                           a.shape[0], perm)
+            nb = int(min(256, max(32, 1 << int(np.ceil(np.log2(max(bw, 1)))))))
         self.fac, _ = factor_banded(a, perm, nb=nb)
         self._solve_fn = banded_solve
         self._solve_H_fn = banded_solve_H
         self.n = a.shape[0]
+        self.refine = refine
+        self._P = a  # exact operator for no-pivot-LU iterative refinement
         self._L = self._R = self._W = self._Wh = None
         self._G = self._Gh = self._cap = self._caph = None
 
-    def solve_P(self, b) -> np.ndarray:
+    def _raw_solve(self, b: np.ndarray, hermitian: bool) -> np.ndarray:
         import jax.numpy as jnp
 
         from ..ops.cplx import Z
 
+        fn = self._solve_H_fn if hermitian else self._solve_fn
+        z = fn(self.fac, Z(jnp.asarray(b.real), jnp.asarray(b.imag)), self.n)
+        return np.asarray(z.re) + 1j * np.asarray(z.im)
+
+    def _solve_refined(self, b: np.ndarray, hermitian: bool) -> np.ndarray:
         b = np.asarray(b, dtype=np.complex128)
-        if b.ndim == 1:
-            z = self._solve_fn(self.fac, Z(jnp.asarray(b.real), jnp.asarray(b.imag)),
-                               self.n)
-            return np.asarray(z.re) + 1j * np.asarray(z.im)
-        return np.stack([self.solve_P(b[:, k]) for k in range(b.shape[1])], axis=1)
+        if b.ndim == 2:
+            return np.stack([self._solve_refined(b[:, k], hermitian)
+                             for k in range(b.shape[1])], axis=1)
+        op = (self._P.conj().T if hermitian else self._P)
+        y = self._raw_solve(b, hermitian)
+        for _ in range(self.refine):
+            y = y + self._raw_solve(b - op @ y, hermitian)
+        return y
+
+    def solve_P(self, b) -> np.ndarray:
+        return self._solve_refined(b, False)
 
     def solve_P_H(self, b) -> np.ndarray:
-        import jax.numpy as jnp
-
-        from ..ops.cplx import Z
-
-        b = np.asarray(b, dtype=np.complex128)
-        if b.ndim == 1:
-            z = self._solve_H_fn(self.fac, Z(jnp.asarray(b.real), jnp.asarray(b.imag)),
-                                 self.n)
-            return np.asarray(z.re) + 1j * np.asarray(z.im)
-        return np.stack([self.solve_P_H(b[:, k]) for k in range(b.shape[1])], axis=1)
+        return self._solve_refined(b, True)
 
     # Woodbury state handling identical to the host tier
     set_lowrank_factors = SparseShiftedFactor.set_lowrank_factors
@@ -371,15 +380,52 @@ DENSE_DOF_LIMIT = int(__import__("os").environ.get("HELMHOLTZ_X_TPU_DENSE_LIMIT"
 SPARSE_TIER = __import__("os").environ.get("HELMHOLTZ_X_TPU_SPARSE_TIER", "auto")
 
 
+def _union_bandwidth(terms, n: int) -> int:
+    """RCM bandwidth of the union sparsity of the terms (cheap, host)."""
+    import scipy.sparse as sp
+
+    from ..native import bandwidth, rcm
+
+    pat = None
+    for c, m in terms:
+        if m is None or c == 0:
+            continue
+        ms = m.to_scipy()
+        p = sp.csr_matrix((np.ones(ms.nnz), ms.indices, ms.indptr), shape=ms.shape)
+        pat = p if pat is None else (pat + p)
+    sym = ((pat + pat.T) > 0).astype(np.float64).tocsr()
+    perm = rcm(sym.indptr.astype(np.int64), sym.indices.astype(np.int64))
+    coo = sym.tocoo()
+    return int(bandwidth(coo.row.astype(np.int64), coo.col.astype(np.int64), n, perm))
+
+
 def build_shifted_factor(terms, n: int):
-    """Factor P = sum coeff_i M_i with the tier appropriate for the size."""
-    if n <= DENSE_DOF_LIMIT:
-        return ShiftedFactor.from_terms(terms, n)
+    """Factor P = sum coeff_i M_i with the tier appropriate for the size and
+    bandwidth:
+
+    * narrow band (RCM bandwidth <= n/6) -> device block-banded f64 LU —
+      the factorization is MXU-cheap and fully accurate (all 1D/2D cases and
+      RCM-ordered 3D meshes land here);
+    * wide band, small n -> dense tier (QR of the real embedding; f32+refined
+      on TPU, f64 on CPU);
+    * wide band, large n -> banded on accelerators / SuperLU host oracle on
+      the CPU test backend (or forced via HELMHOLTZ_X_TPU_SPARSE_TIER).
+    """
     import jax
 
     tier = SPARSE_TIER
     if tier == "auto":
-        tier = "host" if jax.default_backend() == "cpu" else "banded"
+        bw = _union_bandwidth(terms, n)
+        if bw <= max(n // 6, 8):
+            tier = "banded"
+        elif n <= DENSE_DOF_LIMIT:
+            tier = "dense"
+        else:
+            tier = "host" if jax.default_backend() == "cpu" else "banded"
+    elif n <= DENSE_DOF_LIMIT and tier not in ("banded", "host"):
+        tier = "dense"
+    if tier == "dense":
+        return ShiftedFactor.from_terms(terms, n)
     if tier == "banded":
         return BandedShiftedFactor(csr_weighted_scipy(terms))
     return SparseShiftedFactor(csr_weighted_scipy(terms))
