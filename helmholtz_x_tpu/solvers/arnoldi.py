@@ -34,6 +34,7 @@ import numpy as np
 from ..ops.cplx import Z, zzeros
 from ..ops.csr import CSR, csr_empty, spmv, spmv_H
 from ..utils.logging import info
+from ..ops.banded import BandedFactor, banded_solve, banded_solve_H
 from .linsolve import (
     ShiftedFactor,
     SparseShiftedFactor,
@@ -56,6 +57,19 @@ class SolveOp(NamedTuple):
     C: CSR
     cb: Z  # 0-d coefficient of B
     cc: Z  # 0-d coefficient of C
+    wb: Woodbury
+
+
+class BandedSolveOp(NamedTuple):
+    """Banded-tier analogue of SolveOp: block-banded LU factors + the exact
+    CSR operands for no-pivot iterative refinement + Woodbury state."""
+
+    fac: BandedFactor
+    A: CSR
+    B: CSR
+    C: CSR
+    cb: Z
+    cc: Z
     wb: Woodbury
 
 
@@ -135,6 +149,38 @@ def _solve_wb(sv: SolveOp, b: Z, nrefine: int) -> Z:
     return Z(y.re + corr.re, y.im + corr.im)
 
 
+def _solve_wbb(sv: BandedSolveOp, b: Z, nrefine: int) -> Z:
+    """Banded-tier (P - s L R^T)^{-1} b inside jit: banded triangular solves
+    + refinement + Woodbury."""
+    n = sv.A.n
+    y = banded_solve(sv.fac, b, n)
+    for _ in range(nrefine):
+        py = _apply_P(sv, y)
+        r = Z(b.re - py.re, b.im - py.im)
+        dy = banded_solve(sv.fac, r, n)
+        y = Z(y.re + dy.re, y.im + dy.im)
+    wb = sv.wb
+    t = _kT_matvec(wb.R, y)
+    c = _k_matvec(wb.cap, t)
+    corr = _k_matvec(wb.W, c)
+    return Z(y.re + corr.re, y.im + corr.im)
+
+
+def _solve_wbb_H(sv: BandedSolveOp, b: Z, nrefine: int) -> Z:
+    n = sv.A.n
+    y = banded_solve_H(sv.fac, b, n)
+    for _ in range(nrefine):
+        py = _apply_P_H(sv, y)
+        r = Z(b.re - py.re, b.im - py.im)
+        dy = banded_solve_H(sv.fac, r, n)
+        y = Z(y.re + dy.re, y.im + dy.im)
+    wb = sv.wb
+    t = _kT_matvec(wb.Lc, y)
+    c = _k_matvec(wb.caph, t)
+    corr = _k_matvec(wb.Wh, c)
+    return Z(y.re + corr.re, y.im + corr.im)
+
+
 def _solve_wb_H(sv: SolveOp, b: Z, nrefine: int) -> Z:
     """(P - s L R^T)^{-H} b with the same refinement scheme."""
     y = _minv_mv_H(sv.minv, b)
@@ -158,6 +204,28 @@ def _apply(op, v: Z, mode: str, nrefine: int) -> Z:
         y = _solve_wb_H(op.sv, v, nrefine)
         mv = spmv_H(op.C, y)
         return Z(-mv.re, -mv.im)
+    if mode == "epsb":
+        mv = spmv(op.C, v)
+        return _solve_wbb(op.sv, Z(-mv.re, -mv.im), nrefine)
+    if mode == "epsHb":
+        y = _solve_wbb_H(op.sv, v, nrefine)
+        mv = spmv_H(op.C, y)
+        return Z(-mv.re, -mv.im)
+    if mode == "pepb":
+        n = op.C.n
+        v1 = Z(v.re[:n], v.im[:n])
+        v2 = Z(v.re[n:], v.im[n:])
+        sv1 = Z(op.sig.re * v1.re - op.sig.im * v1.im,
+                op.sig.re * v1.im + op.sig.im * v1.re)
+        cv = spmv(op.C, Z(v2.re + sv1.re, v2.im + sv1.im))
+        bv = spmv(op.B, v1)
+        rhs = Z(bv.re + cv.re, bv.im + cv.im)
+        z1 = _solve_wbb(op.sv, rhs, nrefine)
+        z1 = Z(-z1.re, -z1.im)
+        sz1 = Z(op.sig.re * z1.re - op.sig.im * z1.im,
+                op.sig.re * z1.im + op.sig.im * z1.re)
+        z2 = Z(v1.re + sz1.re, v1.im + sz1.im)
+        return Z(jnp.concatenate([z1.re, z2.re]), jnp.concatenate([z1.im, z2.im]))
     if mode == "pep":
         n = op.C.n
         v1 = Z(v.re[:n], v.im[:n])
@@ -332,7 +400,8 @@ def eps_solver(A: CSR, C: CSR, target: complex, nev: int = 2,
             factor.set_scale(lowrank.scale)
         else:
             factor.set_scale(0)
-    host = getattr(factor, "backend", None) in ("host", "banded")
+    backend = getattr(factor, "backend", "dense")
+    host = backend == "host"
     mmax = mmax or _default_mmax(n, nev)
     info("- EPS solver started.")
     if host:
@@ -341,6 +410,10 @@ def eps_solver(A: CSR, C: CSR, target: complex, nev: int = 2,
         op = None
         nus, ys, rel, Vnp, j = _run_arnoldi(None, "eps", n, nev, tol, mmax,
                                             host_apply=apply_fn)
+    elif backend == "banded":
+        op = EpsOp(sv=factor.solve_op(), C=C)
+        nus, ys, rel, Vnp, j = _run_arnoldi(op, "epsb", n, nev, tol, mmax,
+                                            nrefine=factor.refine)
     else:
         op = EpsOp(sv=factor.solve_op(), C=C)
         nus, ys, rel, Vnp, j = _run_arnoldi(op, "eps", n, nev, tol, mmax,
@@ -358,6 +431,10 @@ def eps_solver(A: CSR, C: CSR, target: complex, nev: int = 2,
             nusL, ysL, relL, VnpL, jL = _run_arnoldi(None, "epsH", n, nev, tol,
                                                      mmax, seed=11,
                                                      host_apply=applyH)
+        elif backend == "banded":
+            nusL, ysL, relL, VnpL, jL = _run_arnoldi(op, "epsHb", n, nev, tol,
+                                                     mmax, seed=11,
+                                                     nrefine=factor.refine)
         else:
             nusL, ysL, relL, VnpL, jL = _run_arnoldi(op, "epsH", n, nev, tol,
                                                      mmax, seed=11,
@@ -369,6 +446,10 @@ def eps_solver(A: CSR, C: CSR, target: complex, nev: int = 2,
             u = VnpL.T @ ysL[:, m]
             if host:
                 yv = factor.solve_wb_H(u)
+            elif backend == "banded":
+                y = _solve_wbb_H(op.sv, Z(jnp.asarray(u.real), jnp.asarray(u.imag)),
+                                 factor.refine)
+                yv = np.asarray(y.re) + 1j * np.asarray(y.im)
             else:
                 y = _solve_wb_H(op.sv, Z(jnp.asarray(u.real), jnp.asarray(u.imag)),
                                 factor.nrefine)
@@ -399,7 +480,8 @@ def pep_solver(A: CSR, B: CSR, C: CSR, target: complex, nev: int = 2,
             factor.set_scale(0)
     mmax = mmax or _default_mmax(2 * n, nev)
     info("- PEP solver started.")
-    if getattr(factor, "backend", None) in ("host", "banded"):
+    backend = getattr(factor, "backend", "dense")
+    if backend == "host":
         Bsp = B.to_scipy()
         Csp = C.to_scipy()
 
@@ -411,6 +493,11 @@ def pep_solver(A: CSR, B: CSR, C: CSR, target: complex, nev: int = 2,
 
         nus, ys, rel, Vnp, j = _run_arnoldi(None, "pep", 2 * n, nev, tol, mmax,
                                             host_apply=apply_fn)
+    elif backend == "banded":
+        op = PepOp(sv=factor.solve_op(), B=B, C=C,
+                   sig=Z(jnp.asarray(sigma.real), jnp.asarray(sigma.imag)))
+        nus, ys, rel, Vnp, j = _run_arnoldi(op, "pepb", 2 * n, nev, tol, mmax,
+                                            nrefine=factor.refine)
     else:
         op = PepOp(sv=factor.solve_op(), B=B, C=C,
                    sig=Z(jnp.asarray(sigma.real), jnp.asarray(sigma.imag)))

@@ -313,7 +313,8 @@ class BandedShiftedFactor:
 
     backend = "banded"
 
-    def __init__(self, P_scipy, nb: int | None = None, refine: int = 1):
+    def __init__(self, P_scipy, nb: int | None = None, refine: int = 1,
+                 terms=None):
         import scipy.sparse as sp
 
         from ..native import bandwidth, rcm
@@ -335,8 +336,53 @@ class BandedShiftedFactor:
         self.n = a.shape[0]
         self.refine = refine
         self._P = a  # exact operator for no-pivot-LU iterative refinement
+        if terms is not None:
+            terms = [(complex(c), m) for c, m in terms if m is not None and c != 0]
+            self._tA = terms[0][1]
+            if len(terms) == 2:
+                self._tB, self._cb = None, 0.0
+                self._cc, self._tC = terms[1]
+            else:
+                self._cb, self._tB = terms[1]
+                self._cc, self._tC = terms[2]
+        else:
+            self._tA = self._tB = self._tC = None
+            self._cb = self._cc = 0.0
         self._L = self._R = self._W = self._Wh = None
         self._G = self._Gh = self._cap = self._caph = None
+
+    def solve_op(self):
+        """Device pytree for the jitted banded Arnoldi chunks."""
+        import jax.numpy as _jnp
+
+        from .arnoldi import BandedSolveOp
+
+        A = self._tA if self._tA is not None else None
+        if A is None:
+            raise ValueError("banded factor built without CSR terms")
+        B = self._tB if self._tB is not None else csr_empty(self.n)
+        C = self._tC
+        k = self._L.shape[1] if self._L is not None else 0
+        if k and self._cap is not None:
+            wb = Woodbury(
+                W=zarray(self._W), cap=zarray(self._cap), R=zarray(self._R),
+                Wh=zarray(self._Wh) if self._Wh is not None
+                else zarray(np.zeros((self.n, 0), complex)),
+                caph=zarray(self._caph) if self._caph is not None
+                else zarray(np.zeros((0, 0), complex)),
+                Lc=zarray(np.conj(self._L)) if self._Wh is not None
+                else zarray(np.zeros((self.n, 0), complex)),
+            )
+        else:
+            zk = zarray(np.zeros((self.n, 0), complex))
+            zkk = zarray(np.zeros((0, 0), complex))
+            wb = Woodbury(zk, zkk, zk, zk, zkk, zk)
+        return BandedSolveOp(
+            fac=self.fac, A=A, B=B, C=C,
+            cb=Z(_jnp.asarray(complex(self._cb).real), _jnp.asarray(complex(self._cb).imag)),
+            cc=Z(_jnp.asarray(complex(self._cc).real), _jnp.asarray(complex(self._cc).imag)),
+            wb=wb,
+        )
 
     def _raw_solve(self, b: np.ndarray, hermitian: bool) -> np.ndarray:
         import jax.numpy as jnp
@@ -427,5 +473,5 @@ def build_shifted_factor(terms, n: int):
     if tier == "dense":
         return ShiftedFactor.from_terms(terms, n)
     if tier == "banded":
-        return BandedShiftedFactor(csr_weighted_scipy(terms))
+        return BandedShiftedFactor(csr_weighted_scipy(terms), terms=terms)
     return SparseShiftedFactor(csr_weighted_scipy(terms))

@@ -24,7 +24,7 @@ from .linsolve import build_shifted_factor
 
 def newton_solver(operators, D, init: complex, nev: int = 2, i: int = 0,
                   tol: float = 1e-3, maxiter: int = 100,
-                  print_results: bool = False):
+                  print_results: bool = False, mmax: int = 48):
     """Returns (omega, p) like the reference newtonSolver."""
     from ..eigenvectors import normalize_eigenvector, vec_mat_vec
 
@@ -59,7 +59,7 @@ def newton_solver(operators, D, init: complex, nev: int = 2, i: int = 0,
         # eps_solver solves A' x = lam (-C_arg) x; pass -C to get L p = lam C p
         # (the reference negates the same way, eigensolvers.py:319)
         E = eps_solver(A, negC, 0.0, nev, two_sided=True, factor=factor,
-                       print_results=print_results)
+                       print_results=print_results, mmax=mmax)
         eig = E.getEigenvalue(i)
 
         _, p = normalize_eigenvector(mesh, E, i, which="right", print_eigs=False)

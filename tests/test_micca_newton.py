@@ -21,5 +21,10 @@ def test_micca_newton():
     mesh, matrices, D = _build("direct")
     omega_1, p_1 = newton_solver(matrices, D, 3260 + 460j, i=0, nev=2, tol=1e-2)
     assert abs(omega_1 - (3249.1195 + 462.6225j)) < 5e-2, omega_1
+
+
+@pytest.mark.slow
+def test_micca_newton_second_mode():
+    mesh, matrices, D = _build("direct")
     omega_2, p_2 = newton_solver(matrices, D, 3260 + 460j, i=1, nev=2, tol=1e-2)
     assert abs(omega_2 - (3251.3257 + 467.4424j)) < 5e-2, omega_2
