@@ -461,13 +461,16 @@ def build_shifted_factor(terms, n: int):
 
     tier = SPARSE_TIER
     if tier == "auto":
-        bw = _union_bandwidth(terms, n)
-        if bw <= max(n // 6, 8):
-            tier = "banded"
-        elif n <= DENSE_DOF_LIMIT:
-            tier = "dense"
+        if jax.default_backend() == "cpu":
+            # CPU (test backend): LAPACK dense / SuperLU are the fast oracles;
+            # the banded device code is MXU-shaped and slow here.
+            tier = "dense" if n <= DENSE_DOF_LIMIT else "host"
         else:
-            tier = "host" if jax.default_backend() == "cpu" else "banded"
+            bw = _union_bandwidth(terms, n)
+            if bw <= max(n // 6, 8) or n > DENSE_DOF_LIMIT:
+                tier = "banded"
+            else:
+                tier = "dense"
     elif n <= DENSE_DOF_LIMIT and tier not in ("banded", "host"):
         tier = "dense"
     if tier == "dense":
