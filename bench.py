@@ -83,9 +83,11 @@ def main():
     log("building problem")
     mesh, matrices, D = build()
     silent = io.StringIO()
-    # warmup run: trigger all compiles (cached on disk for future runs)
+    # warmup run: trigger all compiles (cached on disk for future runs);
+    # its convergence prints go to stderr so progress is visible while the
+    # driver still sees exactly one JSON line on stdout
     log("warmup FPI (compiles)")
-    with contextlib.redirect_stdout(silent):
+    with contextlib.redirect_stdout(sys.stderr):
         E = run_fpi(matrices, D)
     log("timed FPI")
     t0 = time.perf_counter()
