@@ -57,8 +57,7 @@ def main():
     iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
-        yr, yi = fn(args[0], args[1], yr.reshape(-1) * 0 + jnp.asarray(xp), args[3],
-                    W, 256, nbkp)
+        yr, yi = fn(args[0], args[1], yr, yi, W, 256, nbkp)
     np.asarray(yr)
     dt = (time.perf_counter() - t0) / iters
 

@@ -54,8 +54,10 @@ def _kernel(band_re_ref, band_im_ref, xre_ref, xim_ref, yre_ref, yim_ref,
             - jnp.dot(ai, xi, preferred_element_type=jnp.float64)
         acc_i = acc_i + jnp.dot(ar, xi, preferred_element_type=jnp.float64) \
             + jnp.dot(ai, xr, preferred_element_type=jnp.float64)
-    yre_ref[0] = acc_r
-    yim_ref[0] = acc_i
+    # outputs stay whole in VMEM (TPU tiling forbids (1, nb) blocks);
+    # each grid step stores its own row
+    yre_ref[pl.ds(r * nb, nb)] = acc_r
+    yim_ref[pl.ds(r * nb, nb)] = acc_i
 
 
 @partial(jax.jit, static_argnames=("W", "nb", "nbkp"))
@@ -63,8 +65,8 @@ def band_matvec_pallas(band_re, band_im, xre, xim, W: int, nb: int, nbkp: int):
     """y = A x for block-band storage (nbkp, 2W+1, nb, nb); x flat (nbkp*nb,)."""
     kern = partial(_kernel, W=W, nb=nb, nbkp=nbkp)
     out_shape = (
-        jax.ShapeDtypeStruct((nbkp, nb), jnp.float64),
-        jax.ShapeDtypeStruct((nbkp, nb), jnp.float64),
+        jax.ShapeDtypeStruct((nbkp * nb,), jnp.float64),
+        jax.ShapeDtypeStruct((nbkp * nb,), jnp.float64),
     )
     yre, yim = pl.pallas_call(
         kern,
@@ -78,12 +80,12 @@ def band_matvec_pallas(band_re, band_im, xre, xim, W: int, nb: int, nbkp: int):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, nb), lambda r: (r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # y whole in VMEM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
     )(band_re, band_im, xre, xim)
-    return yre.reshape(-1), yim.reshape(-1)
+    return yre, yim
 
 
 def band_matvec_xla(band_re, band_im, xre, xim, W: int, nb: int, nbkp: int):

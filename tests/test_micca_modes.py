@@ -14,7 +14,11 @@ from test_micca_full import _build
 
 TARGETS = {
     1000.0: 928.879250 - 527.878099j,
+    2000.0: 1830.046708 - 630.320492j,
     5000.0: 4527.152561 + 4.881680j,
+    9000.0: 8258.815935 - 5.191353j,
+    10000.0: 10164.920306 - 21.952976j,
+    11000.0: 10820.855924 + 346.966028j,
 }
 
 

@@ -60,15 +60,15 @@ def test_band_matvec_pallas_interpret():
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, nb), lambda r: (r, 0)),
-            pl.BlockSpec((1, nb), lambda r: (r, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nbkp, nb), jnp.float64),
-            jax.ShapeDtypeStruct((nbkp, nb), jnp.float64),
+            jax.ShapeDtypeStruct((nbkp * nb,), jnp.float64),
+            jax.ShapeDtypeStruct((nbkp * nb,), jnp.float64),
         ),
         interpret=True,
     )(jnp.asarray(band_re), jnp.asarray(band_im),
       jnp.asarray(xp.real), jnp.asarray(xp.imag))
-    y = (np.asarray(yre).reshape(-1) + 1j * np.asarray(yim).reshape(-1))[:n]
+    y = (np.asarray(yre) + 1j * np.asarray(yim))[:n]
     assert np.allclose(y, A @ x, atol=1e-10)
