@@ -49,8 +49,9 @@ def main():
 
     use_pallas = jax.default_backend() != "cpu"
     fn = band_matvec_pallas if use_pallas else band_matvec_xla
-    args = (jnp.asarray(band_re), jnp.asarray(band_im), jnp.asarray(xp),
-            jnp.asarray(xi), W, 256, nbkp)
+    dt = jnp.float32 if use_pallas else jnp.float64  # Mosaic has no f64
+    args = (jnp.asarray(band_re, dt), jnp.asarray(band_im, dt),
+            jnp.asarray(xp, dt), jnp.asarray(xi, dt), W, 256, nbkp)
     yr, yi = fn(*args)  # compile + warmup
     np.asarray(yr)
 

@@ -37,37 +37,57 @@ except Exception:  # pragma: no cover
 
 def _kernel(band_re_ref, band_im_ref, xre_ref, xim_ref, yre_ref, yim_ref,
             *, W: int, nb: int, nbkp: int):
+    """One block row per grid step.  The x operand arrives as precomputed
+    shifted windows xwin (nbkp, 2W+1, nb) — every kernel access is static, so
+    Mosaic never has to prove dynamic-offset alignment."""
+    dtype = band_re_ref.dtype
     r = pl.program_id(0)
-    acc_r = jnp.zeros((nb,), dtype=jnp.float64)
-    acc_i = jnp.zeros((nb,), dtype=jnp.float64)
+    acc_r = jnp.zeros((nb,), dtype=dtype)
+    acc_i = jnp.zeros((nb,), dtype=dtype)
     for s in range(2 * W + 1):
-        col = r + s - W
-        valid = jnp.logical_and(col >= 0, col < nbkp)
-        ccol = jnp.clip(col, 0, nbkp - 1)
-        xr = xre_ref[pl.ds(ccol * nb, nb)]
-        xi = xim_ref[pl.ds(ccol * nb, nb)]
-        xr = jnp.where(valid, xr, 0.0)
-        xi = jnp.where(valid, xi, 0.0)
+        xr = xre_ref[0, s]
+        xi = xim_ref[0, s]
         ar = band_re_ref[0, s]
         ai = band_im_ref[0, s]
-        acc_r = acc_r + jnp.dot(ar, xr, preferred_element_type=jnp.float64) \
-            - jnp.dot(ai, xi, preferred_element_type=jnp.float64)
-        acc_i = acc_i + jnp.dot(ar, xi, preferred_element_type=jnp.float64) \
-            + jnp.dot(ai, xr, preferred_element_type=jnp.float64)
-    # outputs stay whole in VMEM (TPU tiling forbids (1, nb) blocks);
-    # each grid step stores its own row
-    yre_ref[pl.ds(r * nb, nb)] = acc_r
-    yim_ref[pl.ds(r * nb, nb)] = acc_i
+        acc_r = acc_r + jnp.dot(ar, xr, preferred_element_type=dtype) \
+            - jnp.dot(ai, xi, preferred_element_type=dtype)
+        acc_i = acc_i + jnp.dot(ar, xi, preferred_element_type=dtype) \
+            + jnp.dot(ai, xr, preferred_element_type=dtype)
+    yre_ref[0] = acc_r.reshape(nb // 128, 128)
+    yim_ref[0] = acc_i.reshape(nb // 128, 128)
+
+
+def _x_windows(xv, W: int, nb: int, nbkp: int):
+    """(nbkp, 2W+1, nb): window s of row r is x block (r + s - W), zero
+    outside range.  Pure XLA (pad + strided slices), negligible bytes next to
+    the band itself."""
+    xb = xv.reshape(nbkp, nb)
+    padded = jnp.concatenate(
+        [jnp.zeros((W, nb), xv.dtype), xb, jnp.zeros((W, nb), xv.dtype)], axis=0)
+    return jnp.stack([padded[s:s + nbkp] for s in range(2 * W + 1)], axis=1)
 
 
 @partial(jax.jit, static_argnames=("W", "nb", "nbkp"))
 def band_matvec_pallas(band_re, band_im, xre, xim, W: int, nb: int, nbkp: int):
-    """y = A x for block-band storage (nbkp, 2W+1, nb, nb); x flat (nbkp*nb,)."""
+    """y = A x for block-band storage (nbkp, 2W+1, nb, nb); x flat (nbkp*nb,).
+
+    NOTE: Mosaic does not lower f64 inside Pallas kernels on this backend —
+    cast operands to f32 (or bf16) before calling; the f64 path runs through
+    band_matvec_xla.  A double-single (f32x2) kernel is the planned f64
+    Pallas variant.
+    """
+    assert nb % 128 == 0, "pallas banded matvec needs nb % 128 == 0 (use the XLA path)"
     kern = partial(_kernel, W=W, nb=nb, nbkp=nbkp)
+    xwr = _x_windows(xre, W, nb, nbkp)
+    xwi = _x_windows(xim, W, nb, nbkp)
+    # output laid out (nbkp, nb/128, 128): the un-partitioned trailing dims
+    # equal the overall array dims, satisfying the Mosaic tiling rule
     out_shape = (
-        jax.ShapeDtypeStruct((nbkp * nb,), jnp.float64),
-        jax.ShapeDtypeStruct((nbkp * nb,), jnp.float64),
+        jax.ShapeDtypeStruct((nbkp, nb // 128, 128), band_re.dtype),
+        jax.ShapeDtypeStruct((nbkp, nb // 128, 128), band_re.dtype),
     )
+    win = pl.BlockSpec((1, 2 * W + 1, nb), lambda r: (r, 0, 0),
+                       memory_space=pltpu.VMEM)
     yre, yim = pl.pallas_call(
         kern,
         grid=(nbkp,),
@@ -76,16 +96,18 @@ def band_matvec_pallas(band_re, band_im, xre, xim, W: int, nb: int, nbkp: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2 * W + 1, nb, nb), lambda r: (r, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x whole in VMEM
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            win,
+            win,
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # y whole in VMEM
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb // 128, 128), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb // 128, 128), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
-    )(band_re, band_im, xre, xim)
-    return yre, yim
+    )(band_re, band_im, xwr, xwi)
+    return yre.reshape(-1), yim.reshape(-1)
 
 
 def band_matvec_xla(band_re, band_im, xre, xim, W: int, nb: int, nbkp: int):

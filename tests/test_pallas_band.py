@@ -48,27 +48,29 @@ def test_band_matvec_pallas_interpret():
 
     from helmholtz_x_tpu.ops import pallas_band as pb
 
-    A, band_re, band_im, W, nb, nbkp, x, xp, n = _setup(n=320, nb=32)
+    A, band_re, band_im, W, nb, nbkp, x, xp, n = _setup(n=640, nb=128)
     kern = partial(pb._kernel, W=W, nb=nb, nbkp=nbkp)
+    xwr = pb._x_windows(jnp.asarray(xp.real), W, nb, nbkp)
+    xwi = pb._x_windows(jnp.asarray(xp.imag), W, nb, nbkp)
+    win = pl.BlockSpec((1, 2 * W + 1, nb), lambda r: (r, 0, 0))
     yre, yim = pl.pallas_call(
         kern,
         grid=(nbkp,),
         in_specs=[
             pl.BlockSpec((1, 2 * W + 1, nb, nb), lambda r: (r, 0, 0, 0)),
             pl.BlockSpec((1, 2 * W + 1, nb, nb), lambda r: (r, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            win,
+            win,
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, nb // 128, 128), lambda r: (r, 0, 0)),
+            pl.BlockSpec((1, nb // 128, 128), lambda r: (r, 0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nbkp * nb,), jnp.float64),
-            jax.ShapeDtypeStruct((nbkp * nb,), jnp.float64),
+            jax.ShapeDtypeStruct((nbkp, nb // 128, 128), jnp.float64),
+            jax.ShapeDtypeStruct((nbkp, nb // 128, 128), jnp.float64),
         ),
         interpret=True,
-    )(jnp.asarray(band_re), jnp.asarray(band_im),
-      jnp.asarray(xp.real), jnp.asarray(xp.imag))
-    y = (np.asarray(yre) + 1j * np.asarray(yim))[:n]
+    )(jnp.asarray(band_re), jnp.asarray(band_im), xwr, xwi)
+    y = (np.asarray(yre).reshape(-1) + 1j * np.asarray(yim).reshape(-1))[:n]
     assert np.allclose(y, A @ x, atol=1e-10)
