@@ -40,25 +40,27 @@ def main():
     pattern = sp.csr_matrix((np.ones(A.nnz), A.indices, A.indptr), shape=A.shape)
     sym = ((pattern + pattern.T) > 0).astype(float).tocsr()
     perm = rcm(sym.indptr.astype(np.int64), sym.indices.astype(np.int64))
-    band_re, band_im, W, nbk, nbkp, npad = build_band(A, perm, nb=256)
+    band_re, band_im, W, nbk, nbkp, npad = build_band(A, perm, nb=128)
 
     rng = np.random.default_rng(0)
     xp = np.zeros(npad)
     xp[:n] = rng.standard_normal(n)
     xi = np.zeros(npad)
 
-    use_pallas = jax.default_backend() != "cpu"
+    # the Pallas variant is blocked on a Mosaic legalization bug on this
+    # backend (see ops/pallas_band.band_matvec); measure the XLA device kernel
+    use_pallas = False
     fn = band_matvec_pallas if use_pallas else band_matvec_xla
-    dt = jnp.float32 if use_pallas else jnp.float64  # Mosaic has no f64
+    dt = jnp.float32 if use_pallas else jnp.float64
     args = (jnp.asarray(band_re, dt), jnp.asarray(band_im, dt),
-            jnp.asarray(xp, dt), jnp.asarray(xi, dt), W, 256, nbkp)
+            jnp.asarray(xp, dt), jnp.asarray(xi, dt), W, 128, nbkp)
     yr, yi = fn(*args)  # compile + warmup
     np.asarray(yr)
 
     iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
-        yr, yi = fn(args[0], args[1], yr, yi, W, 256, nbkp)
+        yr, yi = fn(args[0], args[1], yr, yi, W, 128, nbkp)
     np.asarray(yr)
     dt = (time.perf_counter() - t0) / iters
 
@@ -67,9 +69,9 @@ def main():
         "value": round(nnz / dt, 1),
         "unit": "nnz/s",
         "vs_baseline": None,
-        "detail": {"n": n, "nnz": nnz, "W": W, "wall_per_spmv_s": round(dt, 6),
+        "detail": {"n": n, "nnz": nnz, "W": W, "nb": 128, "wall_per_spmv_s": round(dt, 6),
                    "backend": jax.default_backend(),
-                   "kernel": "pallas" if use_pallas else "xla"},
+                   "kernel": "pallas" if use_pallas else "xla-banded"},
     }))
 
 

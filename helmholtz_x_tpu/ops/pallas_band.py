@@ -41,18 +41,20 @@ def _kernel(band_re_ref, band_im_ref, xre_ref, xim_ref, yre_ref, yim_ref,
     shifted windows xwin (nbkp, 2W+1, nb) — every kernel access is static, so
     Mosaic never has to prove dynamic-offset alignment."""
     dtype = band_re_ref.dtype
-    r = pl.program_id(0)
-    acc_r = jnp.zeros((nb,), dtype=dtype)
-    acc_i = jnp.zeros((nb,), dtype=dtype)
+    acc_r = jnp.zeros((1, nb), dtype=dtype)
+    acc_i = jnp.zeros((1, nb), dtype=dtype)
     for s in range(2 * W + 1):
-        xr = xre_ref[0, s]
-        xi = xim_ref[0, s]
-        ar = band_re_ref[0, s]
-        ai = band_im_ref[0, s]
-        acc_r = acc_r + jnp.dot(ar, xr, preferred_element_type=dtype) \
-            - jnp.dot(ai, xi, preferred_element_type=dtype)
-        acc_i = acc_i + jnp.dot(ar, xi, preferred_element_type=dtype) \
-            + jnp.dot(ai, xr, preferred_element_type=dtype)
+        # row-vector formulation: (A_s x_s)^T = x_s^T A_s^T — an (1, nb) x
+        # (nb, nb) matmul, which Mosaic lowers on the MXU (its matvec
+        # reduction path rejects non-constant accumulators)
+        xr = xre_ref[0, s].reshape(1, nb)
+        xi = xim_ref[0, s].reshape(1, nb)
+        art = band_re_ref[0, s].T
+        ait = band_im_ref[0, s].T
+        acc_r = acc_r + (jnp.dot(xr, art, preferred_element_type=dtype)
+                         - jnp.dot(xi, ait, preferred_element_type=dtype))
+        acc_i = acc_i + (jnp.dot(xi, art, preferred_element_type=dtype)
+                         + jnp.dot(xr, ait, preferred_element_type=dtype))
     yre_ref[0] = acc_r.reshape(nb // 128, 128)
     yim_ref[0] = acc_i.reshape(nb // 128, 128)
 
@@ -135,10 +137,14 @@ def band_matvec_xla(band_re, band_im, xre, xim, W: int, nb: int, nbkp: int):
 
 
 def band_matvec(band_re, band_im, x: Z, W: int, nb: int, nbkp: int,
-                use_pallas: bool | None = None) -> Z:
-    """Dispatching banded matvec (Pallas on TPU, XLA elsewhere)."""
-    if use_pallas is None:
-        use_pallas = HAS_PALLAS and jax.default_backend() not in ("cpu",)
-    fn = band_matvec_pallas if use_pallas else band_matvec_xla
+                use_pallas: bool = False) -> Z:
+    """Dispatching banded matvec.
+
+    The Pallas kernel validates in interpreter mode but this backend's Mosaic
+    version fails to legalize it ('func.return' after the matmul rewrite) —
+    until that clears, the default is the XLA einsum formulation, which is
+    itself a fused on-device kernel over the shifted block diagonals.
+    """
+    fn = band_matvec_pallas if (use_pallas and HAS_PALLAS) else band_matvec_xla
     yr, yi = fn(band_re, band_im, x.re, x.im, W, nb, nbkp)
     return Z(yr, yi)
