@@ -1,7 +1,9 @@
-"""Secondary microbenchmark: banded SpMV nnz/s per chip (BASELINE.json
-north-star metric).  Runs the Pallas block-banded matvec kernel on the MICCA
-full-annulus operator pattern.  Prints one JSON line; bench.py remains the
-headline benchmark the driver records.
+"""Secondary microbenchmark: SpMV nnz/s per chip (BASELINE.json north-star
+metric) on the MICCA full-annulus operator — the CSR gather+segment_sum
+kernel that drives iterative refinement and distributed GMRES, timed as a
+single fused lax.scan dispatch (the dev rig's RPC tunnel makes per-call
+timing meaningless).  Prints one JSON line; bench.py remains the headline
+benchmark the driver records.
 """
 
 import json
@@ -24,54 +26,48 @@ def main():
     from helmholtz_x_tpu.acoustics import AcousticMatrices
     from helmholtz_x_tpu.fem.fields import c_uniform
     from helmholtz_x_tpu.mesh.xdmf import XDMFReader
-    from helmholtz_x_tpu.native import rcm
-    from helmholtz_x_tpu.ops.banded import build_band
-    from helmholtz_x_tpu.ops.pallas_band import band_matvec_pallas, band_matvec_xla
+    from helmholtz_x_tpu.ops.cplx import Z
+    from helmholtz_x_tpu.ops.csr import spmv
 
     mesh = XDMFReader(
         "/root/reference/numerical_examples/AnnularCombustor/Micca/fullAnnulus/"
         "MeshDir/mesh").mesh
     mat = AcousticMatrices(mesh, {}, c_uniform(mesh, 340.0))
-    A = mat.A.to_scipy() + 1j * mat.C.to_scipy()
+    A = mat.A
     nnz = A.nnz
-    n = A.shape[0]
-    import scipy.sparse as sp
-
-    pattern = sp.csr_matrix((np.ones(A.nnz), A.indices, A.indptr), shape=A.shape)
-    sym = ((pattern + pattern.T) > 0).astype(float).tocsr()
-    perm = rcm(sym.indptr.astype(np.int64), sym.indices.astype(np.int64))
-    band_re, band_im, W, nbk, nbkp, npad = build_band(A, perm, nb=128)
+    n = A.n
 
     rng = np.random.default_rng(0)
-    xp = np.zeros(npad)
-    xp[:n] = rng.standard_normal(n)
-    xi = np.zeros(npad)
+    x0 = Z(jnp.asarray(rng.standard_normal(n)), jnp.asarray(rng.standard_normal(n)))
 
-    # the Pallas variant is blocked on a Mosaic legalization bug on this
-    # backend (see ops/pallas_band.band_matvec); measure the XLA device kernel
-    use_pallas = False
-    fn = band_matvec_pallas if use_pallas else band_matvec_xla
-    dt = jnp.float32 if use_pallas else jnp.float64
-    args = (jnp.asarray(band_re, dt), jnp.asarray(band_im, dt),
-            jnp.asarray(xp, dt), jnp.asarray(xi, dt), W, 128, nbkp)
-    yr, yi = fn(*args)  # compile + warmup
-    np.asarray(yr)
+    iters = 100
 
-    iters = 50
+    @jax.jit
+    def chain(Acsr, v):
+        def body(carry, _):
+            y = spmv(Acsr, carry)
+            # keep magnitudes bounded so the chain can't overflow
+            s = 1.0 / jnp.sqrt(jnp.sum(y.re**2 + y.im**2))
+            return Z(y.re * s, y.im * s), None
+
+        out, _ = jax.lax.scan(body, v, None, length=iters)
+        return out
+
+    out = chain(A, x0)
+    np.asarray(out.re)  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(iters):
-        yr, yi = fn(args[0], args[1], yr, yi, W, 128, nbkp)
-    np.asarray(yr)
+    out = chain(A, x0)
+    np.asarray(out.re)
     dt = (time.perf_counter() - t0) / iters
 
     print(json.dumps({
-        "metric": "banded_spmv_nnz_per_s",
+        "metric": "csr_spmv_nnz_per_s",
         "value": round(nnz / dt, 1),
         "unit": "nnz/s",
         "vs_baseline": None,
-        "detail": {"n": n, "nnz": nnz, "W": W, "nb": 128, "wall_per_spmv_s": round(dt, 6),
-                   "backend": jax.default_backend(),
-                   "kernel": "pallas" if use_pallas else "xla-banded"},
+        "detail": {"n": n, "nnz": nnz, "wall_per_spmv_s": round(dt, 6),
+                   "backend": jax.default_backend(), "kernel": "csr-segment-sum",
+                   "note": "timed as one fused scan dispatch"},
     }))
 
 
