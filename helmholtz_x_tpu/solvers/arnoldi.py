@@ -325,7 +325,7 @@ def _host_expand(apply_fn, Vnp, Hnp, j0, j1):
 
 
 def _run_arnoldi(op, mode: str, n: int, nev: int, tol: float, mmax: int,
-                 chunk: int = 48, seed: int = 7, host_apply=None,
+                 chunk: int = 96, seed: int = 7, host_apply=None,
                  nrefine: int = 0):
     """Drive Arnoldi expansion chunks until the nev wanted Ritz pairs
     converge.  Device path: jitted `_arnoldi_chunk` on `op`; host path
