@@ -7,6 +7,13 @@ omega_2 = 3248.702502+452.115564j; adjoints conjugate.
 Run:  python examples/micca/active_fpi.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
+
 import numpy as np
 from scipy.io import loadmat
 
@@ -54,14 +61,14 @@ D.assemble_submatrices("direct")
 E = fixed_point_iteration(matrices, D, 3225.120 + 481.0j, i=0, nev=4, tol=1e-3)
 omega_1, p_1 = normalize_eigenvector(mesh, E, 0)
 omega_2, p_2 = normalize_eigenvector(mesh, E, 1)
-write_function_xdmf("examples/micca/results/p_1_dir", mesh, p_1.values)
-dict_writer("examples/micca/results/eigenvalues_dir",
+write_function_xdmf(RESULTS + "/p_1_dir", mesh, p_1.values)
+dict_writer(RESULTS + "/eigenvalues_dir",
             {"direct_1": omega_1, "direct_2": omega_2})
 
 D.assemble_submatrices("adjoint")
 E_adj = fixed_point_iteration(matrices, D, 3225.120 - 481.0j, i=0, nev=4,
                               tol=1e-3, problem_type="adjoint")
 omega_1_adj, p_1_adj = normalize_eigenvector(mesh, E_adj, 0)
-dict_writer("examples/micca/results/eigenvalues_adj", {"adjoint_1": omega_1_adj})
+dict_writer(RESULTS + "/eigenvalues_adj", {"adjoint_1": omega_1_adj})
 
 execution_time(start)

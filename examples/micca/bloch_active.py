@@ -8,6 +8,13 @@ geometric master/slave pairing makes the reduction exact: the sector value
 Run:  python examples/micca/bloch_active.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
+
 import numpy as np
 from scipy.io import loadmat
 
@@ -59,5 +66,5 @@ D.blochify()
 E = fixed_point_iteration(bloch_matrices, D, 3200 + 500j, nev=3, i=0, tol=1e-3)
 omega_1, p_1 = normalize_eigenvector(mesh, E, 0,
                                      BlochRemapper=bloch_matrices.remapper)
-write_function_xdmf("examples/micca/results/p_1_bloch", mesh, p_1.values)
+write_function_xdmf(RESULTS + "/p_1_bloch", mesh, p_1.values)
 execution_time(start)

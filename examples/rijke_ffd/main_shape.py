@@ -8,6 +8,13 @@ differences in tests/test_shape_derivatives.py.
 Run:  python examples/rijke_ffd/main_shape.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
+
 import numpy as np
 
 from helmholtz_x_tpu.mesh.xdmf import XDMFReader
@@ -66,7 +73,7 @@ lattice = FFDCylindrical.from_mesh(mesh, 2, 4, 9)
 derivatives = shape_derivatives_ffd(mesh, lattice, 1, omega_dir, p_dir, p_adj,
                                     matrices.c, matrices, D)
 normalized = derivatives_normalize(derivatives)
-dict_writer("examples/rijke_ffd/results/normalized", normalized)
+dict_writer(RESULTS + "/normalized", normalized)
 
 # one descent step on the growth rate (reference generateOptimizedMesh.py:52-57)
 step = 0.01

@@ -7,6 +7,13 @@ RijkeTube1D/active.py on this framework's API.  Expected eigenvalue
 Run:  python examples/rijke_tube_1d/active.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
+
 import numpy as np
 
 from helmholtz_x_tpu.mesh import one_dimensional_setup
@@ -54,6 +61,6 @@ E = fixed_point_iteration(matrices, D, target, nev=2, i=0)
 omega, p_active = normalize_eigenvector(mesh, E, 0)
 v = velocity_eigenvector(mesh, p_active, omega, rho)
 
-write_function_xdmf("examples/rijke_tube_1d/results/p", mesh, p_active.values)
-dict_writer("examples/rijke_tube_1d/results/eigenvalues", {"direct": omega})
+write_function_xdmf(RESULTS + "/p", mesh, p_active.values)
+dict_writer(RESULTS + "/eigenvalues", {"direct": omega})
 execution_time(start)

@@ -137,3 +137,93 @@ def write_function_xdmf(name: str, mesh: Mesh, values: np.ndarray,
     )
     with open(name + ".xdmf", "w") as f:
         f.write(xml)
+
+
+_TOPO_NAME = {0: "Polyvertex", 1: "Polyline", 2: "Triangle", 3: "Tetrahedron"}
+_VTK_TYPE = {1: 3, 2: 5, 3: 10}  # line / triangle / tetra
+
+
+def _write_tagged_grid(name: str, points: np.ndarray, conn: np.ndarray,
+                       topo_dim: int, values: np.ndarray | None,
+                       attr_name: str):
+    """One XDMF grid (+HDF5 payload) in the exact layout `_read_grid` and the
+    reference's meshio conversion produce (reference: io_utils.py:74-96)."""
+    os.makedirs(os.path.dirname(os.path.abspath(name)) or ".", exist_ok=True)
+    h5name = name + ".h5"
+    with h5py.File(h5name, "w") as f:
+        f["points"] = points
+        f["cells"] = conn.astype(np.int32)
+        if values is not None:
+            f["values"] = values.astype(np.int32)
+    h5base = os.path.basename(h5name)
+    attr = ""
+    if values is not None:
+        attr = (
+            f'<Attribute Name="{attr_name}" AttributeType="Scalar" Center="Cell">'
+            f'<DataItem DataType="Int" Dimensions="{len(values)}" Format="HDF" '
+            f'Precision="4">{h5base}:/values</DataItem></Attribute>'
+        )
+    xml = (
+        '<Xdmf Version="3.0"><Domain><Grid Name="Grid">'
+        f'<Geometry GeometryType="{"XY" if points.shape[1] == 2 else "XYZ"}">'
+        f'<DataItem DataType="Float" Dimensions="{points.shape[0]} {points.shape[1]}" '
+        f'Format="HDF" Precision="8">{h5base}:/points</DataItem></Geometry>'
+        f'<Topology TopologyType="{_TOPO_NAME[topo_dim]}" '
+        f'NumberOfElements="{conn.shape[0]}" NodesPerElement="{conn.shape[1]}">'
+        f'<DataItem DataType="Int" Dimensions="{conn.shape[0]} {conn.shape[1]}" '
+        f'Format="HDF" Precision="4">{h5base}:/cells</DataItem></Topology>'
+        f"{attr}</Grid></Domain></Xdmf>"
+    )
+    with open(name + ".xdmf", "w") as f:
+        f.write(xml)
+
+
+def write_xdmf_mesh(name: str, dimension: int | None = None):
+    """Convert `name.msh` to the `name.xdmf` + `name_tags.xdmf` pair that
+    `XDMFReader` (and ParaView) consume — the reference's gmsh-to-XDMF
+    preprocessing step (reference: io_utils.py:98-136), without meshio."""
+    from .msh import read_msh
+
+    mesh = read_msh(name + ".msh", dim=dimension)
+    pts = mesh.points
+    if pts.shape[1] == 1:
+        pts = np.concatenate([pts, np.zeros_like(pts)], axis=1)
+    _write_tagged_grid(name, pts, mesh.cells, mesh.dim,
+                       getattr(mesh, "cell_tag_values", None), "mesh_tags")
+    facets = getattr(mesh, "facets", None)
+    if facets is not None and len(facets):
+        _write_tagged_grid(name + "_tags", pts, facets, mesh.dim - 1,
+                           mesh.facet_tag_values, "mesh_tags")
+    print(f"XDMF mesh is generated for {name}.msh")
+    return mesh
+
+
+def vtk_writer(name: str, mesh: Mesh, values: np.ndarray,
+               field_name: str = "p"):
+    """Legacy ASCII VTK unstructured-grid writer for nodal fields
+    (reference: io_utils.py:62-72).  Complex fields are written as
+    `<name>_real` / `<name>_imag` point scalars."""
+    os.makedirs(os.path.dirname(os.path.abspath(name)) or ".", exist_ok=True)
+    pts = np.zeros((mesh.num_vertices, 3))
+    pts[:, : mesh.gdim] = mesh.points
+    cells = mesh.cells
+    k = cells.shape[1]
+    vals = np.asarray(values)
+    with open(name + ".vtk", "w") as f:
+        f.write("# vtk DataFile Version 3.0\nhelmholtz_x_tpu field\n"
+                "ASCII\nDATASET UNSTRUCTURED_GRID\n")
+        f.write(f"POINTS {len(pts)} double\n")
+        np.savetxt(f, pts, fmt="%.16g")
+        f.write(f"CELLS {len(cells)} {len(cells) * (k + 1)}\n")
+        np.savetxt(f, np.concatenate(
+            [np.full((len(cells), 1), k, dtype=np.int64), cells], axis=1),
+            fmt="%d")
+        f.write(f"CELL_TYPES {len(cells)}\n")
+        np.savetxt(f, np.full(len(cells), _VTK_TYPE[mesh.dim]), fmt="%d")
+        f.write(f"POINT_DATA {len(vals)}\n")
+        comps = ([(field_name + "_real", vals.real),
+                  (field_name + "_imag", vals.imag)]
+                 if np.iscomplexobj(vals) else [(field_name, vals)])
+        for nm, v in comps:
+            f.write(f"SCALARS {nm} double 1\nLOOKUP_TABLE default\n")
+            np.savetxt(f, np.asarray(v, dtype=np.float64), fmt="%.16g")

@@ -244,12 +244,12 @@ def _apply(op, v: Z, mode: str, nrefine: int) -> Z:
     raise ValueError(mode)
 
 
-@partial(jax.jit, static_argnames=("mode", "nrefine"))
-def _arnoldi_chunk(op, V: Z, H: Z, j0, j1, mode: str, nrefine: int = 0):
+def _arnoldi_expand(op, V: Z, H: Z, j0, j1, mode: str, nrefine: int = 0):
     """Expand the Arnoldi decomposition from step j0 to j1 (exclusive).
 
     V: (mmax+1, n) basis rows (rows > current step are zero);
-    H: (mmax+1, mmax) Hessenberg.
+    H: (mmax+1, mmax) Hessenberg.  Plain traceable function so callers
+    (the fused fixed-point loop) can inline it inside larger jits.
     """
 
     def body(j, state):
@@ -278,6 +278,9 @@ def _arnoldi_chunk(op, V: Z, H: Z, j0, j1, mode: str, nrefine: int = 0):
 
     V, H = jax.lax.fori_loop(j0, j1, body, (V, H))
     return V, H
+
+
+_arnoldi_chunk = partial(jax.jit, static_argnames=("mode", "nrefine"))(_arnoldi_expand)
 
 
 @dataclass

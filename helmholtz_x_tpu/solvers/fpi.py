@@ -12,12 +12,127 @@ SLEPc factorization per outer iteration.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..ops.csr import CSR
 from ..utils.logging import info
-from .arnoldi import EigenResult, eps_solver, pep_solver
+from .arnoldi import EigenResult, _default_mmax, eps_solver, pep_solver
 from .linsolve import build_shifted_factor
+
+
+def _fused_enabled() -> bool:
+    return os.environ.get("HELMHOLTZ_X_TPU_FUSED_FPI", "1") not in (
+        "0", "false", "no")
+
+
+def _run_fused(factor, pencil, D, sigma: complex, nev: int, i: int,
+               tol: float, maxiter: int, problem_type: str,
+               print_results: bool, eps_kind: bool, n: int):
+    """Single-dispatch FPI (fpi_fused.py): the whole outer loop — passive
+    start, FTF, capacitance refresh, Arnoldi, Ritz extraction, Aitken — runs
+    inside one lax.while_loop on device.  Returns an EigenResult (rebuilt on
+    host from the final V, H) or None when the configuration can't be fused."""
+    from .fpi_fused import ftf_params_device, fused_fpi_run
+
+    backend = getattr(factor, "backend", "dense")
+    if backend not in ("dense", "banded"):
+        return None
+    try:
+        kind, p = ftf_params_device(D.FTF)
+    except TypeError:
+        return None
+    mode = {(True, "dense"): "eps", (True, "banded"): "epsb",
+            (False, "dense"): "pep", (False, "banded"): "pepb"}[
+        (eps_kind, backend)]
+    nrefine = factor.refine if backend == "banded" else factor.nrefine
+    sv_base = factor.solve_op()
+    W, R, G = factor.lowrank_state()
+    n_op = n if eps_kind else 2 * n
+    mmax = _default_mmax(n_op, nev)
+    import jax
+
+    if jax.default_backend() != "cpu":
+        # The remote-TPU worker dies executing the fused while_loop once the
+        # live basis exceeds ~2e5 elements (empirical; plain chunked Arnoldi
+        # of the same shapes is fine).  Shrink the subspace to fit — the
+        # warm-started expansions converge in far fewer steps than a cold
+        # SLEPc-style solve — and leave genuinely big problems unfused.
+        budget = int(os.environ.get("HELMHOLTZ_X_TPU_FUSED_ELEMS", 150_000))
+        if (mmax + 1) * n_op > budget:
+            mmax = budget // n_op - 1
+        if mmax < max(16, 4 * nev):
+            return None
+    rng = np.random.default_rng(7)
+    v0 = rng.standard_normal(n_op) + 1j * rng.standard_normal(n_op)
+    v0 /= np.linalg.norm(v0)
+
+    info("--> Fixed point iteration started (device-fused loop).\n")
+    try:
+        it, om, hist, V, H = fused_fpi_run(
+            sv_base, pencil, W, R, G, kind, p, sigma, v0, tol, mode, nrefine,
+            maxiter, i, problem_type == "adjoint", eps_kind, mmax)
+    except Exception as e:  # runtime/compile failure -> host-driven loop
+        info(f"! fused FPI failed on this backend ({type(e).__name__}); "
+             "falling back to the host-driven loop.")
+        if jax.default_backend() != "cpu":
+            import time
+
+            time.sleep(60)  # give a crashed remote worker time to restart
+        return None
+    niter = int(it)
+    hist_np = (np.asarray(hist.re) + 1j * np.asarray(hist.im))[:niter]
+    if niter == 0 or not np.all(np.isfinite(hist_np)):
+        info("! fused FPI produced non-finite iterates; "
+             "falling back to the host-driven loop.")
+        return None
+
+    s = _fmt(tol)
+    info("+ Starting eigenvalue is found: {}  {}j. ".format(
+        s.format(hist_np[0].real), s.format(hist_np[0].imag)))
+    info("-> Iterations are starting.\n ")
+    for k in range(1, niter):
+        info("* iter = {:2d}".format(k))
+        info("+ omega = {}  {}j,  |domega| = {:.2e}\n".format(
+            s.format(hist_np[k].real), s.format(hist_np[k].imag),
+            abs(hist_np[k] - hist_np[k - 1])))
+    if niter >= maxiter and abs(hist_np[-1] - hist_np[-2]) > tol:
+        info("! FPI hit maxiter without converging.")
+
+    # Rebuild the converged eigenpairs from the final Arnoldi decomposition
+    # exactly as arnoldi._run_arnoldi does.
+    Hnp = np.asarray(H.re) + 1j * np.asarray(H.im)
+    Vnp = np.asarray(V.re) + 1j * np.asarray(V.im)
+    m = Hnp.shape[1]
+    Hm = Hnp[: m + 1, :m]
+    sub = np.abs(np.diag(Hm[1:, :]))
+    brk = np.nonzero(sub < 1e-13 * max(1.0, np.abs(Hm).max()))[0]
+    jeff = int(brk[0]) + 1 if len(brk) else m
+    nus, ys = np.linalg.eig(Hm[:jeff, :jeff])
+    order = np.argsort(-np.abs(nus))
+    nus, ys = nus[order], ys[:, order]
+    beta_last = sub[jeff - 1] if jeff == m else 0.0
+    lams = sigma + 1.0 / nus
+    nkeep = min(max(nev, 2), len(lams))
+    vecs = Vnp[:jeff].T @ ys[:, :nkeep]
+    if not eps_kind:
+        vecs = vecs[:n, :]
+    vecs /= np.linalg.norm(vecs, axis=0, keepdims=True)
+    rel = (beta_last * np.abs(ys[-1, :nkeep])
+           / np.maximum(np.abs(nus[:nkeep]), 1e-300))
+    if rel[i] > 1e-8:
+        info(f"! fused FPI wanted-pair residual {rel[i]:.2e} too large "
+             f"(m={Hnp.shape[1]}); falling back to the host-driven loop.")
+        return None
+    res = EigenResult(kind="eps" if eps_kind else "pep", sigma=sigma,
+                      eigenvalues=lams[:nkeep], vectors=vecs,
+                      iterations=niter, residuals=rel)
+    if print_results:
+        from .arnoldi import _print_results
+
+        _print_results(res)
+    return res
 
 
 def _fmt(tol: float) -> str:
@@ -65,6 +180,11 @@ def fixed_point_iteration_eps(operators, D, target: complex, nev: int = 2,
     if not refactor_each:
         factor = build_shifted_factor([(1.0, A), (sigma, C)], C.n)
         factor.set_lowrank_factors(L, R, two_sided)
+        if _fused_enabled() and not two_sided:
+            E = _run_fused(factor, (C,), D, sigma, nev, i, tol, maxiter,
+                           problem_type, print_results, eps_kind=True, n=C.n)
+            if E is not None:
+                return E
         factor.set_scale(0)
 
     E = eps_solver(A, C, target, nev, print_results=print_results, factor=factor)
@@ -120,6 +240,11 @@ def fixed_point_iteration_pep(operators, D, target: complex, nev: int = 2,
     L, R = _flame_factors(D, problem_type)
     factor = build_shifted_factor([(1.0, A), (sigma, B), (sigma**2, C)], C.n)
     factor.set_lowrank_factors(L, R, False)
+    if _fused_enabled():
+        E = _run_fused(factor, (B, C), D, sigma, nev, i, tol, maxiter,
+                       problem_type, print_results, eps_kind=False, n=C.n)
+        if E is not None:
+            return E
     factor.set_scale(0)
 
     E = pep_solver(A, B, C, target, nev, print_results=print_results, factor=factor)

@@ -231,6 +231,11 @@ class ShiftedFactor:
             return self.set_scale(0)
         return self._wb
 
+    def lowrank_state(self):
+        """(W, R, G) numpy state for the fused fixed-point loop, which
+        rebuilds the capacitance on device each outer iteration."""
+        return self._W_np, self._R_np, self._G
+
 
 class SparseShiftedFactor:
     """Sparse-direct tier of the shifted-operator factorization (host LU via
@@ -297,6 +302,9 @@ class SparseShiftedFactor:
         if self._caph is not None:
             y = y + self._Wh @ (self._caph @ (np.conj(self._L).T @ y))
         return y
+
+    def lowrank_state(self):
+        return self._W, self._R, self._G
 
 
 class BandedShiftedFactor:
@@ -415,6 +423,7 @@ class BandedShiftedFactor:
     set_scale = SparseShiftedFactor.set_scale
     solve_wb = SparseShiftedFactor.solve_wb
     solve_wb_H = SparseShiftedFactor.solve_wb_H
+    lowrank_state = SparseShiftedFactor.lowrank_state
 
 
 # Problems with more dofs than this use the sparse tier (dense QR of the real
