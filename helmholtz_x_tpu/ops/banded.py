@@ -44,6 +44,11 @@ class BandedFactor(NamedTuple):
     invd_im: jnp.ndarray
     perm: jnp.ndarray  # (npad,) RCM permutation (original -> banded order)
     iperm: jnp.ndarray
+    # Symmetric diagonal equilibration d (f64, original dof order, padded):
+    # the factored matrix is diag(d) P diag(d), so P^{-1} b = d*(Ptilde^{-1}(d*b)).
+    # Removes the FEM 1/h row scaling from kappa — required for the f32
+    # mixed-precision factor, harmless (ones) when disabled.
+    dscale: jnp.ndarray
 
     @property
     def nb(self) -> int:
@@ -91,6 +96,10 @@ def build_band(sp_mat, perm: np.ndarray, nb: int = 256):
 
 @partial(jax.jit, static_argnames=("W", "nbk"))
 def _factor_band(band_re, band_im, W: int, nbk: int):
+    """Right-looking block LU in the dtype of `band_re` — f64 for the exact
+    tier, f32 for the mixed-precision tier (MXU-speed factorization, f64
+    accuracy recovered by iterative refinement against the exact CSR
+    operator, mirroring the dense tier's f32 QR + refinement)."""
     nb = band_re.shape[2]
 
     def inv_block(dr, di):
@@ -126,15 +135,17 @@ def _factor_band(band_re, band_im, W: int, nbk: int):
         return bre, bim, idr, idi
 
     nbkp = band_re.shape[0]
-    idr = jnp.zeros((nbkp, nb, nb))
-    idi = jnp.zeros((nbkp, nb, nb))
+    idr = jnp.zeros((nbkp, nb, nb), dtype=band_re.dtype)
+    idi = jnp.zeros((nbkp, nb, nb), dtype=band_re.dtype)
     bre, bim, idr, idi = jax.lax.fori_loop(0, nbk, body, (band_re, band_im, idr, idi))
     return bre, bim, idr, idi
 
 
-def factor_banded(sp_mat, perm: np.ndarray, nb: int = 256) -> BandedFactor:
+def factor_banded(sp_mat, perm: np.ndarray, nb: int = 256,
+                  dtype=np.float64) -> BandedFactor:
     band_re, band_im, W, nbk, nbkp, npad = build_band(sp_mat, perm, nb)
-    bre, bim, idr, idi = _factor_band(jnp.asarray(band_re), jnp.asarray(band_im),
+    bre, bim, idr, idi = _factor_band(jnp.asarray(band_re, dtype=dtype),
+                                      jnp.asarray(band_im, dtype=dtype),
                                       W, nbk)
     n = sp_mat.shape[0]
     perm_pad = np.concatenate([perm, np.arange(n, npad)])
@@ -163,9 +174,13 @@ def _banded_solve_impl(f: BandedFactor, bre, bim, hermitian: bool, n: int):
     nb, W = f.nb, f.W
     nbkp = f.band_re.shape[0]
     npad = nbkp * nb
+    # Substitution runs in the FACTOR's dtype (f32 for the mixed-precision
+    # tier); callers recover f64 accuracy by refinement against the exact
+    # CSR operator.  Output is cast back to f64 pairs.
+    d = f.band_re.dtype
     # pad and permute into banded order
-    xr = jnp.zeros(npad).at[: bre.shape[0]].set(bre)[f.perm].reshape(nbkp, nb)
-    xi = jnp.zeros(npad).at[: bim.shape[0]].set(bim)[f.perm].reshape(nbkp, nb)
+    xr = jnp.zeros(npad, d).at[: bre.shape[0]].set(bre.astype(d))[f.perm].reshape(nbkp, nb)
+    xi = jnp.zeros(npad, d).at[: bim.shape[0]].set(bim.astype(d))[f.perm].reshape(nbkp, nb)
 
     if not hermitian:
         # L y = b (unit diagonal): y_r = b_r - sum_i L_{r,r-i} y_{r-i}
@@ -269,6 +284,6 @@ def _banded_solve_impl(f: BandedFactor, bre, bim, hermitian: bool, n: int):
 
         sr, si = jax.lax.fori_loop(0, nbkp, bwd, (jnp.zeros_like(xr), jnp.zeros_like(xi)))
 
-    out_r = sr.reshape(-1)[f.iperm][:n]
-    out_i = si.reshape(-1)[f.iperm][:n]
+    out_r = sr.reshape(-1)[f.iperm][:n].astype(jnp.float64)
+    out_i = si.reshape(-1)[f.iperm][:n].astype(jnp.float64)
     return Z(out_r, out_i)

@@ -69,6 +69,16 @@ def _x_windows(xv, W: int, nb: int, nbkp: int):
     return jnp.stack([padded[s:s + nbkp] for s in range(2 * W + 1)], axis=1)
 
 
+def _i32(v):
+    """Index-map outputs MUST be i32: under jax_enable_x64 literal block
+    offsets trace as i64 and Mosaic rejects the index-map function
+    ('func.return'(i32, i64, ...)).  This was misdiagnosed round-1 as a
+    Mosaic legalization bug — it is an x64-mode interaction."""
+    import jax.numpy as _jnp
+
+    return _jnp.int32(v)
+
+
 @partial(jax.jit, static_argnames=("W", "nb", "nbkp"))
 def band_matvec_pallas(band_re, band_im, xre, xim, W: int, nb: int, nbkp: int):
     """y = A x for block-band storage (nbkp, 2W+1, nb, nb); x flat (nbkp*nb,).
@@ -88,25 +98,19 @@ def band_matvec_pallas(band_re, band_im, xre, xim, W: int, nb: int, nbkp: int):
         jax.ShapeDtypeStruct((nbkp, nb // 128, 128), band_re.dtype),
         jax.ShapeDtypeStruct((nbkp, nb // 128, 128), band_re.dtype),
     )
-    win = pl.BlockSpec((1, 2 * W + 1, nb), lambda r: (r, 0, 0),
+    win = pl.BlockSpec((1, 2 * W + 1, nb), lambda r: (r, _i32(0), _i32(0)),
                        memory_space=pltpu.VMEM)
+    band_spec = pl.BlockSpec((1, 2 * W + 1, nb, nb),
+                             lambda r: (r, _i32(0), _i32(0), _i32(0)),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, nb // 128, 128),
+                            lambda r: (r, _i32(0), _i32(0)),
+                            memory_space=pltpu.VMEM)
     yre, yim = pl.pallas_call(
         kern,
         grid=(nbkp,),
-        in_specs=[
-            pl.BlockSpec((1, 2 * W + 1, nb, nb), lambda r: (r, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * W + 1, nb, nb), lambda r: (r, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            win,
-            win,
-        ],
-        out_specs=(
-            pl.BlockSpec((1, nb // 128, 128), lambda r: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb // 128, 128), lambda r: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=[band_spec, band_spec, win, win],
+        out_specs=(out_spec, out_spec),
         out_shape=out_shape,
     )(band_re, band_im, xwr, xwi)
     return yre.reshape(-1), yim.reshape(-1)

@@ -321,7 +321,7 @@ class BandedShiftedFactor:
 
     backend = "banded"
 
-    def __init__(self, P_scipy, nb: int | None = None, refine: int = 1,
+    def __init__(self, P_scipy, nb: int | None = None, refine: int | None = None,
                  terms=None):
         import scipy.sparse as sp
 
@@ -338,7 +338,14 @@ class BandedShiftedFactor:
             bw = bandwidth(coo.row.astype(np.int64), coo.col.astype(np.int64),
                            a.shape[0], perm)
             nb = int(min(256, max(32, 1 << int(np.ceil(np.log2(max(bw, 1)))))))
-        self.fac, _ = factor_banded(a, perm, nb=nb)
+        # mixed precision: f32 block LU (MXU-speed; f64 matmuls are software-
+        # emulated on TPU) + extra refinement sweeps against the exact CSR
+        # operator — same policy as the dense tier above
+        self.mixed = _mixed_precision_default()
+        dtype = np.float32 if self.mixed else np.float64
+        if refine is None:
+            refine = 3 if self.mixed else 1
+        self.fac, _ = factor_banded(a, perm, nb=nb, dtype=dtype)
         self._solve_fn = banded_solve
         self._solve_H_fn = banded_solve_H
         self.n = a.shape[0]

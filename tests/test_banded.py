@@ -73,3 +73,18 @@ def test_banded_tier_end_to_end():
         assert abs(omega - 1064.648163) / 1064.648163 < 1e-6
     finally:
         lin.DENSE_DOF_LIMIT, lin.SPARSE_TIER = old_limit, old_tier
+
+
+def test_banded_mixed_precision_refinement(monkeypatch):
+    """f32 block LU + iterative refinement against the exact operator
+    recovers f64 accuracy (the TPU fast path; ops/banded.py dtype plumbing)."""
+    monkeypatch.setenv("HELMHOLTZ_X_TPU_MIXED", "1")
+    rng = np.random.default_rng(4)
+    A = _random_banded(700, rng)
+    f = BandedShiftedFactor(A, nb=64)
+    assert f.mixed and f.fac.band_re.dtype == np.float32
+    b = rng.standard_normal(700) + 1j * rng.standard_normal(700)
+    x = f.solve_P(b)
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-12
+    xh = f.solve_P_H(b)
+    assert np.linalg.norm(A.conj().T @ xh - b) / np.linalg.norm(b) < 1e-12
