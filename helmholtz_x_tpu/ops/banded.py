@@ -63,9 +63,11 @@ def _zmm(ar, ai, br, bi):
     return ar @ br - ai @ bi, ar @ bi + ai @ br
 
 
-def build_band(sp_mat, perm: np.ndarray, nb: int = 256):
+def build_band(sp_mat, perm: np.ndarray, nb: int = 256, W: int | None = None):
     """Pack a scipy sparse matrix (already complex) into block-band arrays
-    under the permutation `perm`.  Returns host numpy arrays + geometry."""
+    under the permutation `perm`.  Returns host numpy arrays + geometry.
+    Passing W forces the block half-bandwidth (must cover the matrix) so a
+    set of blocks can share uniform band geometry (block-Jacobi stacking)."""
     import scipy.sparse as sp
 
     n = sp_mat.shape[0]
@@ -74,8 +76,12 @@ def build_band(sp_mat, perm: np.ndarray, nb: int = 256):
     inv[perm] = np.arange(n)
     r = inv[a.row]
     c = inv[a.col]
-    bw = int(np.abs(r - c).max())
-    W = max(1, -(-bw // nb))
+    bw = int(np.abs(r - c).max()) if a.nnz else 0
+    W_needed = max(1, -(-bw // nb))
+    if W is None:
+        W = W_needed
+    elif W < W_needed:
+        raise ValueError(f"forced W={W} < needed {W_needed}")
     nbk = -(-n // nb)
     nbkp = nbk + W  # padding block rows so the factor loops never branch
     npad = nbkp * nb
@@ -142,17 +148,98 @@ def _factor_band(band_re, band_im, W: int, nbk: int):
 
 
 def factor_banded(sp_mat, perm: np.ndarray, nb: int = 256,
-                  dtype=np.float64) -> BandedFactor:
+                  dtype=np.float64, equilibrate: bool | None = None) -> BandedFactor:
+    """Factor P (scipy sparse, complex).  For the f32 mixed-precision tier the
+    matrix is symmetrically equilibrated first — Ptilde = diag(d) P diag(d)
+    with d_i = 1/sqrt(|P_ii|) — so the FEM 1/h row scaling doesn't blow the
+    f32 no-pivot LU's condition number; the solves undo it as
+    P^{-1} b = d * (Ptilde^{-1} (d * b))."""
+    import scipy.sparse as sp
+
+    n = sp_mat.shape[0]
+    if equilibrate is None:
+        equilibrate = np.dtype(dtype) == np.float32
+    if equilibrate:
+        diag = np.abs(sp_mat.diagonal())
+        d = 1.0 / np.sqrt(np.maximum(diag, 1e-30))
+        dmat = sp.diags(d)
+        sp_mat = (dmat @ sp_mat @ dmat).tocsr()
+    else:
+        d = np.ones(n)
     band_re, band_im, W, nbk, nbkp, npad = build_band(sp_mat, perm, nb)
     bre, bim, idr, idi = _factor_band(jnp.asarray(band_re, dtype=dtype),
                                       jnp.asarray(band_im, dtype=dtype),
                                       W, nbk)
-    n = sp_mat.shape[0]
     perm_pad = np.concatenate([perm, np.arange(n, npad)])
     iperm = np.empty(npad, dtype=np.int64)
     iperm[perm_pad] = np.arange(npad)
+    dpad = np.concatenate([d, np.ones(npad - n)])
     return BandedFactor(band_re=bre, band_im=bim, invd_re=idr, invd_im=idi,
-                        perm=jnp.asarray(perm_pad), iperm=jnp.asarray(iperm)), n
+                        perm=jnp.asarray(perm_pad), iperm=jnp.asarray(iperm),
+                        dscale=jnp.asarray(dpad)), n
+
+
+def factor_banded_blocks(blocks, nb: int = 128, dtype=np.float64,
+                         equilibrate: bool | None = None) -> BandedFactor:
+    """Factor a list of equal-sized (scipy sparse, complex) diagonal blocks
+    with UNIFORM band geometry — shared nb, W, nbkp — so the factors stack
+    along a leading axis shardable over a device mesh.  This is the build
+    step of the distributed block-Jacobi preconditioner (parallel/dist.py):
+    shard s applies `banded_substitute(tree_map(x[0], fac), ...)` locally.
+
+    Each block gets its own RCM permutation and (for f32) equilibration.
+    Returns (BandedFactor with leading dim len(blocks), n_block)."""
+    import scipy.sparse as sp
+
+    from ..native import rcm
+
+    if equilibrate is None:
+        equilibrate = np.dtype(dtype) == np.float32
+    n = blocks[0].shape[0]
+    assert all(b.shape == (n, n) for b in blocks)
+    perms, mats, ds, Ws = [], [], [], []
+    for blk in blocks:
+        a = sp.csr_matrix(blk).astype(np.complex128)
+        pattern = sp.csr_matrix((np.ones(a.nnz), a.indices, a.indptr),
+                                shape=a.shape)
+        sym = ((pattern + pattern.T) > 0).astype(np.float64).tocsr()
+        perm = rcm(sym.indptr.astype(np.int64), sym.indices.astype(np.int64))
+        if equilibrate:
+            d = 1.0 / np.sqrt(np.maximum(np.abs(a.diagonal()), 1e-30))
+            dm = sp.diags(d)
+            a = (dm @ a @ dm).tocsr()
+        else:
+            d = np.ones(n)
+        inv = np.empty(n, dtype=np.int64)
+        inv[perm] = np.arange(n)
+        coo = a.tocoo()
+        bw = int(np.abs(inv[coo.row] - inv[coo.col]).max()) if a.nnz else 0
+        Ws.append(max(1, -(-bw // nb)))
+        perms.append(perm)
+        mats.append(a)
+        ds.append(d)
+    W = max(Ws)
+    bres, bims, perm_pads, iperms, dpads = [], [], [], [], []
+    npad = None
+    for a, perm, d in zip(mats, perms, ds):
+        band_re, band_im, W_, nbk, nbkp, npad = build_band(a, perm, nb, W=W)
+        bres.append(band_re)
+        bims.append(band_im)
+        perm_pad = np.concatenate([perm, np.arange(n, npad)])
+        iperm = np.empty(npad, dtype=np.int64)
+        iperm[perm_pad] = np.arange(npad)
+        perm_pads.append(perm_pad)
+        iperms.append(iperm)
+        dpads.append(np.concatenate([d, np.ones(npad - n)]))
+    stack_re = jnp.asarray(np.stack(bres), dtype=dtype)
+    stack_im = jnp.asarray(np.stack(bims), dtype=dtype)
+    fac_fn = jax.vmap(lambda br, bi: _factor_band(br, bi, W, nbk))
+    bre, bim, idr, idi = fac_fn(stack_re, stack_im)
+    return BandedFactor(
+        band_re=bre, band_im=bim, invd_re=idr, invd_im=idi,
+        perm=jnp.asarray(np.stack(perm_pads)),
+        iperm=jnp.asarray(np.stack(iperms)),
+        dscale=jnp.asarray(np.stack(dpads))), n
 
 
 def _zmv(ar, ai, xr, xi):
@@ -171,6 +258,13 @@ def banded_solve_H(f: BandedFactor, b: Z, n: int) -> Z:
 
 @partial(jax.jit, static_argnames=("hermitian", "n"))
 def _banded_solve_impl(f: BandedFactor, bre, bim, hermitian: bool, n: int):
+    return banded_substitute(f, bre, bim, hermitian, n)
+
+
+def banded_substitute(f: BandedFactor, bre, bim, hermitian: bool, n: int):
+    """The substitution body, un-jitted — traceable inside shard_map for the
+    per-shard block-Jacobi preconditioner (parallel/dist.py) as well as the
+    jitted single-chip wrapper above."""
     nb, W = f.nb, f.W
     nbkp = f.band_re.shape[0]
     npad = nbkp * nb
@@ -178,9 +272,13 @@ def _banded_solve_impl(f: BandedFactor, bre, bim, hermitian: bool, n: int):
     # tier); callers recover f64 accuracy by refinement against the exact
     # CSR operator.  Output is cast back to f64 pairs.
     d = f.band_re.dtype
-    # pad and permute into banded order
-    xr = jnp.zeros(npad, d).at[: bre.shape[0]].set(bre.astype(d))[f.perm].reshape(nbkp, nb)
-    xi = jnp.zeros(npad, d).at[: bim.shape[0]].set(bim.astype(d))[f.perm].reshape(nbkp, nb)
+    # equilibration pre-scale (f64, original order), then pad + permute into
+    # banded order; the factored matrix is diag(d) P diag(d) so both the
+    # forward and Hermitian solves scale input AND output by dscale
+    br_s = (jnp.zeros(npad).at[: bre.shape[0]].set(bre) * f.dscale)
+    bi_s = (jnp.zeros(npad).at[: bim.shape[0]].set(bim) * f.dscale)
+    xr = br_s[f.perm].astype(d).reshape(nbkp, nb)
+    xi = bi_s[f.perm].astype(d).reshape(nbkp, nb)
 
     if not hermitian:
         # L y = b (unit diagonal): y_r = b_r - sum_i L_{r,r-i} y_{r-i}
@@ -284,6 +382,6 @@ def _banded_solve_impl(f: BandedFactor, bre, bim, hermitian: bool, n: int):
 
         sr, si = jax.lax.fori_loop(0, nbkp, bwd, (jnp.zeros_like(xr), jnp.zeros_like(xi)))
 
-    out_r = sr.reshape(-1)[f.iperm][:n].astype(jnp.float64)
-    out_i = si.reshape(-1)[f.iperm][:n].astype(jnp.float64)
+    out_r = (sr.reshape(-1).astype(jnp.float64)[f.iperm] * f.dscale)[:n]
+    out_i = (si.reshape(-1).astype(jnp.float64)[f.iperm] * f.dscale)[:n]
     return Z(out_r, out_i)

@@ -14,15 +14,18 @@ from __future__ import annotations
 import numpy as np
 from jax.sharding import Mesh
 
-from .dist import AXIS, make_dist_gmres_solve, partition_csr, shard_vector
+from .dist import (AXIS, build_block_jacobi, make_dist_gmres_solve,
+                   partition_csr, shard_vector)
 
 
 class DistShiftInvert:
-    """(A + sigma C)^{-1} (C x) with restarted distributed GMRES."""
+    """(A + sigma C)^{-1} (C x) with restarted distributed GMRES, optionally
+    block-Jacobi preconditioned (each shard's diagonal block factored by the
+    banded tier; application is communication-free inside the GMRES body)."""
 
     def __init__(self, A_scipy, C_scipy, sigma: complex, mesh: Mesh,
                  n_devices: int, m_krylov: int = 30, inner_tol: float = 1e-12,
-                 max_restarts: int = 200):
+                 max_restarts: int = 200, precond: str | None = "bjacobi"):
         import scipy.sparse as sp
 
         n = A_scipy.shape[0]
@@ -45,10 +48,14 @@ class DistShiftInvert:
         self.C = C_scipy
         self.inner_tol = inner_tol
         self.max_restarts = max_restarts
+        shifted_pad = pad(shifted)
         with mesh:
-            self.A_sh, _, self.n_local = partition_csr(pad(shifted), n_devices, mesh)
+            self.A_sh, _, self.n_local = partition_csr(shifted_pad, n_devices, mesh)
+            pc = (build_block_jacobi(shifted_pad, n_devices, self.n_local, mesh)
+                  if precond == "bjacobi" else None)
             self.solve_step = make_dist_gmres_solve(mesh, self.A_sh, self.n_local,
-                                                    n_devices, m_krylov=m_krylov)
+                                                    n_devices, m_krylov=m_krylov,
+                                                    pc=pc)
 
     def _gmres_restarted(self, b: np.ndarray) -> np.ndarray:
         """Restarted GMRES: each restart runs the jitted distributed GMRES(m)
@@ -74,19 +81,19 @@ class DistShiftInvert:
 
 def dist_eps_solve(A_scipy, C_scipy, target: complex, mesh: Mesh,
                    n_devices: int, nev: int = 1, mmax: int = 60,
-                   tol: float = 1e-10, m_krylov: int = 200):
+                   tol: float = 1e-10, m_krylov: int = 40,
+                   precond: str | None = "bjacobi"):
     """Distributed analogue of eps_solver: lambda nearest target^2 of the
     pencil A x = lambda (-C) x, inner solves on the device mesh.
 
-    NOTE (round-1 scope): the inner solve is UNPRECONDITIONED distributed
-    GMRES; the shifted Helmholtz operator is indefinite, so restarted
-    GMRES(m) with small m stagnates — m_krylov must approach the number of
-    indefinite modes.  The production fix is a distributed block-Jacobi /
-    complex-shifted-Laplacian preconditioner built from the banded tier
-    (ops/banded.py) applied per shard; tracked for the next round."""
+    The inner GMRES is block-Jacobi preconditioned by default: each shard's
+    diagonal block is factored once by the banded tier and applied locally
+    (zero communication), so restarted GMRES(m) converges at small m even on
+    the indefinite shifted Helmholtz operator — the role PETSc's PCBJACOBI
+    plays under the reference's SLEPc shift-invert (eigensolvers.py:49-55)."""
     sigma = complex(target) ** 2
     op = DistShiftInvert(A_scipy, C_scipy, sigma, mesh, n_devices,
-                         m_krylov=m_krylov)
+                         m_krylov=m_krylov, precond=precond)
     n = A_scipy.shape[0]
     rng = np.random.default_rng(7)
     v = rng.standard_normal(n) + 1j * rng.standard_normal(n)
