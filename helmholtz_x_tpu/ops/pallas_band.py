@@ -141,14 +141,21 @@ def band_matvec_xla(band_re, band_im, xre, xim, W: int, nb: int, nbkp: int):
 
 
 def band_matvec(band_re, band_im, x: Z, W: int, nb: int, nbkp: int,
-                use_pallas: bool = False) -> Z:
+                use_pallas: bool | None = None) -> Z:
     """Dispatching banded matvec.
 
-    The Pallas kernel validates in interpreter mode but this backend's Mosaic
-    version fails to legalize it ('func.return' after the matmul rewrite) —
-    until that clears, the default is the XLA einsum formulation, which is
-    itself a fused on-device kernel over the shifted block diagonals.
-    """
+    The Mosaic legalization failure seen early in round 1 was an x64-mode
+    index-map dtype issue (see _i32); with i32 index maps the Pallas kernel
+    compiles and matches the XLA path exactly on this backend.  Auto policy:
+    Pallas on accelerators when the operands are f32/bf16 and nb is a
+    multiple of 128 (the kernel's tiling constraint); the XLA einsum
+    formulation otherwise (CPU, or f64 operands — Mosaic has no f64)."""
+    if use_pallas is None:
+        import jax
+
+        use_pallas = (HAS_PALLAS and jax.default_backend() != "cpu"
+                      and band_re.dtype in (jnp.float32, jnp.bfloat16)
+                      and nb % 128 == 0)
     fn = band_matvec_pallas if (use_pallas and HAS_PALLAS) else band_matvec_xla
     yr, yi = fn(band_re, band_im, x.re, x.im, W, nb, nbkp)
     return Z(yr, yi)

@@ -19,6 +19,7 @@ with W_H = P^{-H} conj(R).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
@@ -27,6 +28,7 @@ import numpy as np
 from ..ops.cplx import Z, zarray
 from ..ops.csr import CSR, csr_empty, spmv, spmv_H
 from ..ops.dense import DenseFactor, dense_solve, dense_solve_H, factor_dense
+from ..utils.logging import info
 
 
 def csr_weighted_dense(terms) -> Z:
@@ -338,10 +340,15 @@ class BandedShiftedFactor:
             bw = bandwidth(coo.row.astype(np.int64), coo.col.astype(np.int64),
                            a.shape[0], perm)
             nb = int(min(256, max(32, 1 << int(np.ceil(np.log2(max(bw, 1)))))))
-        # mixed precision: f32 block LU (MXU-speed; f64 matmuls are software-
-        # emulated on TPU) + extra refinement sweeps against the exact CSR
-        # operator — same policy as the dense tier above
-        self.mixed = _mixed_precision_default()
+        # Precision: unlike the dense tier's QR (backward-stable at any
+        # precision), this LU has NO pivoting — on the indefinite shifted
+        # operator A - sigma C element growth can be unbounded, and in f32 the
+        # raw solve can be so wrong that iterative refinement DIVERGES
+        # (measured: raw rel-residual 22 on the 1D Rijke shifted tridiagonal).
+        # So 'auto' means f64 here; f32 is explicit opt-in and still guarded
+        # by the stability probe below.
+        self.mixed = os.environ.get("HELMHOLTZ_X_TPU_MIXED", "auto") not in (
+            "auto", "0", "false", "no")
         dtype = np.float32 if self.mixed else np.float64
         if refine is None:
             refine = 3 if self.mixed else 1
@@ -351,6 +358,25 @@ class BandedShiftedFactor:
         self.n = a.shape[0]
         self.refine = refine
         self._P = a  # exact operator for no-pivot-LU iterative refinement
+        # Stability probe: refinement contracts only if the raw solve already
+        # reduces the residual by a decent factor.  One solve + one SpMV.
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal(self.n) + 1j * rng.standard_normal(self.n)
+        x = self._raw_solve(b, False)
+        rel = float(np.linalg.norm(b - a @ x) / np.linalg.norm(b))
+        if not np.isfinite(rel) or rel > 0.3:
+            if self.mixed:
+                info(f"! f32 banded LU unstable (probe residual {rel:.1e}); "
+                     "refactoring in f64.")
+                self.mixed = False
+                self.refine = refine = 1
+                self.fac, _ = factor_banded(a, perm, nb=nb, dtype=np.float64)
+                x = self._raw_solve(b, False)
+                rel = float(np.linalg.norm(b - a @ x) / np.linalg.norm(b))
+            if not np.isfinite(rel) or rel > 0.3:
+                info(f"! f64 banded LU still weak (probe residual {rel:.1e}); "
+                     "adding refinement sweeps.")
+                self.refine = max(refine, 4)
         if terms is not None:
             terms = [(complex(c), m) for c, m in terms if m is not None and c != 0]
             self._tA = terms[0][1]
