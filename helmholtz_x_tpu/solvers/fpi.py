@@ -23,7 +23,15 @@ from .linsolve import build_shifted_factor
 
 
 def _fused_enabled() -> bool:
-    return os.environ.get("HELMHOLTZ_X_TPU_FUSED_FPI", "1") not in (
+    # The fused while_loop FPI is superseded by the resolvent-projection path
+    # (projection.py) — one Krylov basis total instead of one per outer
+    # iteration.  It remains available as an opt-in fallback.
+    return os.environ.get("HELMHOLTZ_X_TPU_FUSED_FPI", "0") not in (
+        "0", "false", "no")
+
+
+def _proj_enabled() -> bool:
+    return os.environ.get("HELMHOLTZ_X_TPU_PROJ", "1") not in (
         "0", "false", "no")
 
 
@@ -180,6 +188,14 @@ def fixed_point_iteration_eps(operators, D, target: complex, nev: int = 2,
     if not refactor_each:
         factor = build_shifted_factor([(1.0, A), (sigma, C)], C.n)
         factor.set_lowrank_factors(L, R, two_sided)
+        if _proj_enabled() and not two_sided:
+            from .projection import projected_fpi
+
+            E = projected_fpi(factor, operators, D, target, nev, i, tol,
+                              maxiter, problem_type, print_results,
+                              eps_kind=True)
+            if E is not None:
+                return E
         if _fused_enabled() and not two_sided:
             E = _run_fused(factor, (C,), D, sigma, nev, i, tol, maxiter,
                            problem_type, print_results, eps_kind=True, n=C.n)
@@ -240,6 +256,14 @@ def fixed_point_iteration_pep(operators, D, target: complex, nev: int = 2,
     L, R = _flame_factors(D, problem_type)
     factor = build_shifted_factor([(1.0, A), (sigma, B), (sigma**2, C)], C.n)
     factor.set_lowrank_factors(L, R, False)
+    if _proj_enabled():
+        from .projection import projected_fpi
+
+        E = projected_fpi(factor, operators, D, target, nev, i, tol,
+                          maxiter, problem_type, print_results,
+                          eps_kind=False)
+        if E is not None:
+            return E
     if _fused_enabled():
         E = _run_fused(factor, (B, C), D, sigma, nev, i, tol, maxiter,
                        problem_type, print_results, eps_kind=False, n=C.n)

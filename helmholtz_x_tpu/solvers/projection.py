@@ -1,0 +1,349 @@
+"""Resolvent-Krylov projection: the whole nonlinear eigensolve on ONE basis.
+
+The flame operator is rank-k, so the exact eigenvector of
+
+    (A + omega B + omega^2 C - s(omega) L R^T) x = 0
+
+is a resolvent applied to the flame columns:  x = Q(omega)^{-1} L alpha with
+Q(omega) = A + omega B + omega^2 C.  A shift-invert Krylov space built ONCE at
+the factorization shift sigma, STARTED from W = Q(sigma)^{-1} L, approximates
+those resolvents for every omega near sigma (it spans exactly the rational
+functions (I + (mu - sigma) P^{-1}C)^{-1} W that the eigenvalue updates need).
+
+So instead of re-running a full Arnoldi eigensolve per outer fixed-point
+iteration (reference: helmholtz_x/eigensolvers.py:122-259 re-factors AND
+re-solves inside SLEPc every iteration; round-1 fpi_fused re-expanded a
+48-step Krylov basis per iteration), we:
+
+  1. factor P(sigma) once (linsolve tiers),
+  2. build ONE m-step Krylov basis V from start vector(s) W  (m solves total,
+     device-resident for the dense/banded tiers: a single XLA dispatch),
+  3. Galerkin-project A, B, C, L, R onto V in exact f64 (m SpMVs + small
+     matmuls, one jitted call),
+  4. run the reference's Aitken-relaxed fixed-point loop on the PROJECTED
+     m x m dense nonlinear eigenproblem — microseconds per iteration,
+  5. recover eigenvectors x = V^T y, and verify the winner against the
+     EXACT unprojected operator; a failed residual gate falls back to the
+     round-1 exact paths (fpi.py keeps them).
+
+Because the projected matrices are computed in f64 from the exact CSR
+operators, the eigenvalue accuracy is set by the SUBSPACE quality, not the
+inner-solve precision — the basis build tolerates reduced-precision solves.
+
+Reference parity: the printed iteration history and the Aitken update
+alpha_k = 1/(1 - (f_k - f_{k-1})/(omega_k - omega_{k-1})) follow
+helmholtz_x/eigensolvers.py:122-276 exactly; eigenvalues are ordered by
+|lambda - target^(2|1)| like SLEPc's TARGET_MAGNITUDE (eigensolvers.py:54).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..ops.cplx import Z
+from ..utils.logging import info
+from .arnoldi import EigenResult, _arnoldi_chunk, EpsOp, PepOp
+
+
+def _enabled() -> bool:
+    return os.environ.get("HELMHOLTZ_X_TPU_PROJ", "1") not in ("0", "false", "no")
+
+
+def _solve_np(factor, b: np.ndarray, hermitian: bool = False) -> np.ndarray:
+    """Tier-agnostic P^{-1} b (or P^{-H} b) returning numpy complex."""
+    from .linsolve import ShiftedFactor
+
+    fn = factor.solve_P_H if hermitian else factor.solve_P
+    if isinstance(factor, ShiftedFactor):
+        from ..ops.cplx import zarray
+
+        z = fn(zarray(np.asarray(b, dtype=np.complex128)))
+        return z.to_numpy()
+    return np.asarray(fn(np.asarray(b, dtype=np.complex128)))
+
+
+@dataclass
+class ProjectedPencil:
+    """Galerkin projections onto the orthonormal rows of V (m, n)."""
+
+    V: np.ndarray  # (m, n) complex, orthonormal rows
+    Ah: np.ndarray  # (m, m)
+    Bh: Optional[np.ndarray]
+    Ch: np.ndarray
+    Lh: np.ndarray  # (m, k)  V^H L
+    Rh: np.ndarray  # (m, k)  V^T R   (R enters unconjugated: D = L R^T)
+
+
+# ---------------------------------------------------------------------------
+# basis construction
+
+
+def _orth_rows(X: np.ndarray, tol: float = 1e-12) -> np.ndarray:
+    """Orthonormal rows spanning the row space of X (SVD-based, rank-revealing)."""
+    u, s, vh = np.linalg.svd(X, full_matrices=False)
+    r = int(np.sum(s > tol * (s[0] if len(s) else 1.0)))
+    return vh[:r]
+
+
+def _host_block_arnoldi(apply_fn, start: np.ndarray, depth: int) -> np.ndarray:
+    """Block Arnoldi driven from host: start (n, k) columns, `depth` block
+    steps of v <- apply_fn(v) with CGS2 against everything built so far.
+    Returns (m, n) orthonormal rows.  Used for rank k > 1 and the host tier."""
+    n, k = start.shape
+    V = _orth_rows(start.T.copy())
+    blocks = [V]
+    cur = V
+    for _ in range(depth):
+        nxt = np.stack([apply_fn(cur[j]) for j in range(cur.shape[0])])
+        Vall = np.concatenate(blocks, axis=0)
+        for _ in range(2):
+            nxt = nxt - (nxt @ np.conj(Vall.T)) @ Vall
+        nxt = _orth_rows(nxt)
+        if nxt.shape[0] == 0:
+            break
+        blocks.append(nxt)
+        Vall2 = np.concatenate(blocks, axis=0)
+        cur = nxt
+        if Vall2.shape[0] >= n:
+            break
+    return np.concatenate(blocks, axis=0)
+
+
+def _device_arnoldi_rows(factor, pencil, sigma: complex, mode: str,
+                         v0: np.ndarray, m: int, nrefine: int) -> np.ndarray:
+    """Single-dispatch Krylov basis on the device tiers via the jitted
+    Arnoldi chunk (Woodbury zeroed -> pure P^{-1} pencil applies)."""
+    import jax.numpy as jnp
+
+    sv = factor.solve_op()
+    if mode in ("eps", "epsb"):
+        op = EpsOp(sv=sv, C=pencil[0])
+        n_op = pencil[0].n
+    else:
+        B, C = pencil
+        op = PepOp(sv=sv, B=B, C=C,
+                   sig=Z(jnp.asarray(sigma.real), jnp.asarray(sigma.imag)))
+        n_op = 2 * C.n
+    V = Z(jnp.zeros((m + 1, n_op)).at[0].set(jnp.asarray(v0.real)),
+          jnp.zeros((m + 1, n_op)).at[0].set(jnp.asarray(v0.imag)))
+    H = Z(jnp.zeros((m + 1, m)), jnp.zeros((m + 1, m)))
+    V, H = _arnoldi_chunk(op, V, H, 0, m, mode, nrefine)
+    Vnp = np.asarray(V.re) + 1j * np.asarray(V.im)
+    # drop exact-zero rows after a happy breakdown
+    keep = np.linalg.norm(Vnp, axis=1) > 1e-14
+    return Vnp[keep]
+
+
+def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
+                sigma: complex, eps_kind: bool, m: int) -> np.ndarray:
+    """Orthonormal rows (m', n) spanning the resolvent-Krylov space started
+    from W = P^{-1} L.  For the quadratic pencil the companion Krylov vectors
+    live in C^{2n}; both halves are collected and re-orthonormalized in C^n.
+    """
+    backend = getattr(factor, "backend", "dense")
+    nrefine = factor.refine if backend == "banded" else (
+        factor.nrefine if backend == "dense" else 0)
+    L = np.asarray(L, dtype=np.complex128).reshape(A.n, -1)
+    R = np.asarray(R, dtype=np.complex128).reshape(A.n, -1)
+    k = L.shape[1]
+    W = np.stack([_solve_np(factor, L[:, j]) for j in range(k)], axis=1)
+
+    if k == 1 and backend in ("dense", "banded"):
+        mode = ("eps" if backend == "dense" else "epsb") if eps_kind else (
+            "pep" if backend == "dense" else "pepb")
+        if eps_kind:
+            v0 = W[:, 0] / np.linalg.norm(W[:, 0])
+            rows = _device_arnoldi_rows(factor, (C,), sigma, mode, v0, m, nrefine)
+            return rows
+        z0 = np.concatenate([W[:, 0], sigma * W[:, 0]])
+        z0 /= np.linalg.norm(z0)
+        rows2n = _device_arnoldi_rows(factor, (B, C), sigma, mode, z0, m, nrefine)
+        n = C.n
+        halves = np.concatenate([rows2n[:, :n], rows2n[:, n:]], axis=0)
+        halves = np.concatenate([halves, W.T], axis=0)
+        return _orth_rows(halves)
+
+    # rank k > 1 (or host tier): host-driven block Arnoldi
+    depth = max(2, -(-m // max(k, 1)))
+    if eps_kind:
+        Csp = C.to_scipy()
+
+        def apply_fn(v):
+            return _solve_np(factor, Csp @ v)
+
+        return _host_block_arnoldi(apply_fn, W, depth)
+
+    Bsp = B.to_scipy()
+    Csp = C.to_scipy()
+    n = C.n
+
+    def apply2n(z):
+        v1, v2 = z[:n], z[n:]
+        rhs = Bsp @ v1 + Csp @ (v2 + sigma * v1)
+        z1 = -_solve_np(factor, rhs)
+        return np.concatenate([z1, v1 + sigma * z1])
+
+    start2n = np.concatenate([W, sigma * W], axis=0)
+    rows2n = _host_block_arnoldi(apply2n, start2n, depth)
+    halves = np.concatenate([rows2n[:, :n], rows2n[:, n:]], axis=0)
+    halves = np.concatenate([halves, W.T], axis=0)
+    return _orth_rows(halves)
+
+
+def project(V: np.ndarray, A, B, C, L: np.ndarray, R: np.ndarray) -> ProjectedPencil:
+    """Galerkin projections in exact f64 via host CSR products (m SpMVs)."""
+    Asp = A.to_scipy()
+    Csp = C.to_scipy()
+    Vc = np.conj(V)
+    Ah = Vc @ (Asp @ V.T)
+    Ch = Vc @ (Csp @ V.T)
+    Bh = None
+    if B is not None:
+        Bh = Vc @ (B.to_scipy() @ V.T)
+    L = np.asarray(L, dtype=np.complex128).reshape(V.shape[1], -1)
+    R = np.asarray(R, dtype=np.complex128).reshape(V.shape[1], -1)
+    return ProjectedPencil(V=V, Ah=Ah, Bh=Bh, Ch=Ch, Lh=Vc @ L, Rh=V @ R)
+
+
+# ---------------------------------------------------------------------------
+# dense eigen-solves of the projected pencils
+
+
+def _eig_eps(Sh: np.ndarray, Ch: np.ndarray, target2: complex):
+    """S y = lambda (-Ch) y, ordered by |lambda - target2|."""
+    lam, Y = np.linalg.eig(np.linalg.solve(-Ch, Sh))
+    o = np.argsort(np.abs(lam - target2))
+    return lam[o], Y[:, o]
+
+
+def _eig_pep(Sh: np.ndarray, Bh: np.ndarray, Ch: np.ndarray, target: complex):
+    """(Sh + lambda Bh + lambda^2 Ch) y = 0 by companion linearization,
+    ordered by |lambda - target|; eigenvectors are the first block."""
+    m = Sh.shape[0]
+    Cinv_S = np.linalg.solve(Ch, Sh)
+    Cinv_B = np.linalg.solve(Ch, Bh)
+    comp = np.block([[np.zeros((m, m)), np.eye(m)], [-Cinv_S, -Cinv_B]])
+    lam, Y = np.linalg.eig(comp)
+    o = np.argsort(np.abs(lam - target))
+    return lam[o], Y[:m, o]
+
+
+def _fmt(tol: float) -> str:
+    digits = int("{:.0e}".format(tol)[-2:])
+    return "{{:+.{}f}}".format(digits)
+
+
+def true_rel_residual(A, B, C, L, R, s: complex, lam: complex,
+                      x: np.ndarray) -> float:
+    """|| (A + lam^(1|2)-weighted pencil - s L R^T) x || normalized by the
+    term magnitudes — the exact-operator acceptance gate."""
+    Asp = A.to_scipy()
+    Csp = C.to_scipy()
+    terms = [Asp @ x, lam * (Csp @ x) if B is None else lam**2 * (Csp @ x)]
+    if B is not None:
+        terms.append(lam * (B.to_scipy() @ x))
+    if s != 0:
+        Lm = np.asarray(L, dtype=np.complex128).reshape(len(x), -1)
+        Rm = np.asarray(R, dtype=np.complex128).reshape(len(x), -1)
+        terms.append(-s * (Lm @ (Rm.T @ x)))
+    r = np.sum(terms, axis=0)
+    scale = max(np.linalg.norm(t) for t in terms)
+    return float(np.linalg.norm(r) / max(scale, 1e-300))
+
+
+# ---------------------------------------------------------------------------
+# the projected fixed-point iteration
+
+
+def projected_fpi(factor, operators, D, target: complex, nev: int, i: int,
+                  tol: float, maxiter: int, problem_type: str,
+                  print_results: bool, eps_kind: bool,
+                  m: Optional[int] = None) -> Optional[EigenResult]:
+    """Run the reference FPI on the projected pencil; returns an EigenResult
+    or None when the residual gate rejects (callers fall back to the exact
+    round-1 paths)."""
+    from .fpi import _flame_factors, _flame_scale
+
+    A, C = operators.A, operators.C
+    B = (operators.B_adj if problem_type == "adjoint" else operators.B) \
+        if not eps_kind else None
+    L, R = _flame_factors(D, problem_type)
+    k = np.asarray(L).reshape(A.n, -1).shape[1]
+    sigma = complex(target) if not eps_kind else complex(target) ** 2
+    tgt = complex(target) if not eps_kind else complex(target) ** 2
+    if m is None:
+        m = int(os.environ.get("HELMHOLTZ_X_TPU_PROJ_M",
+                               max(48, 8 * k, 16 * nev)))
+    m = min(m, A.n)
+
+    info("--> Fixed point iteration started (resolvent-projection).\n")
+    V = build_basis(factor, A, B, C, L, R, sigma, eps_kind, m)
+    proj = project(V, A, B, C, L, R)
+    Lh, Rh = proj.Lh, proj.Rh
+    LRh = Lh @ Rh.T
+
+    def solve_proj(s: complex):
+        Sh = proj.Ah - s * LRh
+        if eps_kind:
+            return _eig_eps(Sh, proj.Ch, tgt)
+        return _eig_pep(Sh, proj.Bh, proj.Ch, tgt)
+
+    s_fmt = _fmt(tol)
+    lam, Y = solve_proj(0.0)
+    omega = np.zeros(maxiter + 1, dtype=complex)
+    f = np.zeros(maxiter, dtype=complex)
+    alpha = np.zeros(maxiter, dtype=complex)
+    omega[0] = np.sqrt(lam[i]) if eps_kind else lam[i]
+    info("+ Starting eigenvalue is found: {}  {}j. ".format(
+        s_fmt.format(omega[0].real), s_fmt.format(omega[0].imag)))
+    info("-> Iterations are starting.\n ")
+
+    domega = 2 * tol
+    kk = -1
+    while abs(domega) > tol:
+        kk += 1
+        if kk >= maxiter - 1:
+            info("! FPI hit maxiter without converging.")
+            break
+        info("* iter = {:2d}".format(kk + 1))
+        sc = _flame_scale(D, omega[kk], problem_type)
+        lam, Y = solve_proj(sc)
+        f[kk] = np.sqrt(lam[i]) if eps_kind else lam[i]
+        if kk == 0:
+            alpha[kk] = 0.5
+        else:
+            alpha[kk] = 1.0 / (1.0 - (f[kk] - f[kk - 1]) / (omega[kk] - omega[kk - 1]))
+        omega[kk + 1] = alpha[kk] * f[kk] + (1 - alpha[kk]) * omega[kk]
+        domega = omega[kk + 1] - omega[kk]
+        info("+ omega = {}  {}j,  |domega| = {:.2e}\n".format(
+            s_fmt.format(omega[kk + 1].real), s_fmt.format(omega[kk + 1].imag),
+            abs(domega)))
+
+    # final projected solve at the converged omega for clean eigenpairs
+    om = omega[kk + 1]
+    sc = _flame_scale(D, om, problem_type)
+    lam, Y = solve_proj(sc)
+    nkeep = min(max(nev, 2), len(lam))
+    vecs = V.T @ Y[:, :nkeep]
+    vecs /= np.linalg.norm(vecs, axis=0, keepdims=True)
+
+    rel = true_rel_residual(A, B, C, L, R, sc, lam[i], vecs[:, i])
+    if not np.isfinite(rel) or rel > float(
+            os.environ.get("HELMHOLTZ_X_TPU_PROJ_GATE", "1e-8")):
+        info(f"! projection residual {rel:.2e} too large (m={V.shape[0]}); "
+             "falling back to the exact path.")
+        return None
+
+    res = EigenResult(kind="eps" if eps_kind else "pep", sigma=sigma,
+                      eigenvalues=lam[:nkeep], vectors=vecs,
+                      iterations=kk + 1,
+                      residuals=np.full(nkeep, rel))
+    if print_results:
+        from .arnoldi import _print_results
+
+        _print_results(res)
+    return res
