@@ -187,7 +187,6 @@ def fixed_point_iteration_eps(operators, D, target: complex, nev: int = 2,
     factor = None
     if not refactor_each:
         factor = build_shifted_factor([(1.0, A), (sigma, C)], C.n)
-        factor.set_lowrank_factors(L, R, two_sided)
         if _proj_enabled() and not two_sided:
             from .projection import projected_fpi
 
@@ -196,6 +195,9 @@ def fixed_point_iteration_eps(operators, D, target: complex, nev: int = 2,
                               eps_kind=True)
             if E is not None:
                 return E
+        # Woodbury state is only needed by the exact fallback paths below
+        # (the projection path solves with the passive operator alone).
+        factor.set_lowrank_factors(L, R, two_sided)
         if _fused_enabled() and not two_sided:
             E = _run_fused(factor, (C,), D, sigma, nev, i, tol, maxiter,
                            problem_type, print_results, eps_kind=True, n=C.n)
@@ -255,7 +257,6 @@ def fixed_point_iteration_pep(operators, D, target: complex, nev: int = 2,
 
     L, R = _flame_factors(D, problem_type)
     factor = build_shifted_factor([(1.0, A), (sigma, B), (sigma**2, C)], C.n)
-    factor.set_lowrank_factors(L, R, False)
     if _proj_enabled():
         from .projection import projected_fpi
 
@@ -264,6 +265,7 @@ def fixed_point_iteration_pep(operators, D, target: complex, nev: int = 2,
                           eps_kind=False)
         if E is not None:
             return E
+    factor.set_lowrank_factors(L, R, False)
     if _fused_enabled():
         E = _run_fused(factor, (B, C), D, sigma, nev, i, tol, maxiter,
                        problem_type, print_results, eps_kind=False, n=C.n)

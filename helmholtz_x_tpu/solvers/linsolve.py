@@ -339,7 +339,12 @@ class BandedShiftedFactor:
             coo = a.tocoo()
             bw = bandwidth(coo.row.astype(np.int64), coo.col.astype(np.int64),
                            a.shape[0], perm)
-            nb = int(min(256, max(32, 1 << int(np.ceil(np.log2(max(bw, 1)))))))
+            # Substitution is a sequential fori_loop over ~2*n/nb block rows;
+            # on TPU the per-step dispatch overhead (~0.1 ms) dwarfs the
+            # per-block matvec, so prefer FEWER, BIGGER blocks: nb >= 128
+            # even for narrow bands (a 1D tridiagonal at nb=32 spends 4x the
+            # wall of nb=128 for identical flops).
+            nb = int(min(256, max(128, 1 << int(np.ceil(np.log2(max(bw, 1)))))))
         # Precision: unlike the dense tier's QR (backward-stable at any
         # precision), this LU has NO pivoting — on the indefinite shifted
         # operator A - sigma C element growth can be unbounded, and in f32 the
@@ -358,25 +363,9 @@ class BandedShiftedFactor:
         self.n = a.shape[0]
         self.refine = refine
         self._P = a  # exact operator for no-pivot-LU iterative refinement
-        # Stability probe: refinement contracts only if the raw solve already
-        # reduces the residual by a decent factor.  One solve + one SpMV.
-        rng = np.random.default_rng(0)
-        b = rng.standard_normal(self.n) + 1j * rng.standard_normal(self.n)
-        x = self._raw_solve(b, False)
-        rel = float(np.linalg.norm(b - a @ x) / np.linalg.norm(b))
-        if not np.isfinite(rel) or rel > 0.3:
-            if self.mixed:
-                info(f"! f32 banded LU unstable (probe residual {rel:.1e}); "
-                     "refactoring in f64.")
-                self.mixed = False
-                self.refine = refine = 1
-                self.fac, _ = factor_banded(a, perm, nb=nb, dtype=np.float64)
-                x = self._raw_solve(b, False)
-                rel = float(np.linalg.norm(b - a @ x) / np.linalg.norm(b))
-            if not np.isfinite(rel) or rel > 0.3:
-                info(f"! f64 banded LU still weak (probe residual {rel:.1e}); "
-                     "adding refinement sweeps.")
-                self.refine = max(refine, 4)
+        self._perm = perm
+        self._nb = nb
+        self._probed = False
         if terms is not None:
             terms = [(complex(c), m) for c, m in terms if m is not None and c != 0]
             self._tA = terms[0][1]
@@ -434,6 +423,34 @@ class BandedShiftedFactor:
         z = fn(self.fac, Z(jnp.asarray(b.real), jnp.asarray(b.imag)), self.n)
         return np.asarray(z.re) + 1j * np.asarray(z.im)
 
+    def _probe(self, b: np.ndarray, y_raw: np.ndarray):
+        """Lazy stability probe on the FIRST host-driven solve (free: reuses
+        that solve's raw result + one host SpMV).  No-pivot LU element growth
+        can be unbounded on the indefinite shifted operator; in f32 the raw
+        solve can be so wrong that refinement DIVERGES (measured rel-residual
+        22 on the 1D Rijke shifted tridiagonal), so a bad probe refactors in
+        f64 / adds sweeps."""
+        self._probed = True
+        rel = float(np.linalg.norm(b - self._P @ y_raw) / np.linalg.norm(b))
+        if not np.isfinite(rel) or rel > 0.3:
+            from ..ops.banded import factor_banded
+
+            if self.mixed:
+                info(f"! f32 banded LU unstable (probe residual {rel:.1e}); "
+                     "refactoring in f64.")
+                self.mixed = False
+                self.refine = 1
+                self.fac, _ = factor_banded(self._P, self._perm, nb=self._nb,
+                                            dtype=np.float64)
+                y_raw = self._raw_solve(b, False)
+                rel = float(np.linalg.norm(b - self._P @ y_raw)
+                            / np.linalg.norm(b))
+            if not np.isfinite(rel) or rel > 0.3:
+                info(f"! f64 banded LU still weak (probe residual {rel:.1e}); "
+                     "adding refinement sweeps.")
+                self.refine = max(self.refine, 4)
+        return y_raw
+
     def _solve_refined(self, b: np.ndarray, hermitian: bool) -> np.ndarray:
         b = np.asarray(b, dtype=np.complex128)
         if b.ndim == 2:
@@ -441,6 +458,8 @@ class BandedShiftedFactor:
                              for k in range(b.shape[1])], axis=1)
         op = (self._P.conj().T if hermitian else self._P)
         y = self._raw_solve(b, hermitian)
+        if not self._probed and not hermitian:
+            y = self._probe(b, y)
         for _ in range(self.refine):
             y = y + self._raw_solve(b - op @ y, hermitian)
         return y

@@ -44,9 +44,12 @@ from typing import Optional
 
 import numpy as np
 
+from functools import partial
+
 from ..ops.cplx import Z
 from ..utils.logging import info
-from .arnoldi import EigenResult, _arnoldi_chunk, EpsOp, PepOp
+from .arnoldi import (EigenResult, EpsOp, PepOp, _arnoldi_chunk,
+                      _arnoldi_expand, _solve_wb, _solve_wbb)
 
 
 def _enabled() -> bool:
@@ -113,59 +116,106 @@ def _host_block_arnoldi(apply_fn, start: np.ndarray, depth: int) -> np.ndarray:
     return np.concatenate(blocks, axis=0)
 
 
-def _device_arnoldi_rows(factor, pencil, sigma: complex, mode: str,
-                         v0: np.ndarray, m: int, nrefine: int) -> np.ndarray:
-    """Single-dispatch Krylov basis on the device tiers via the jitted
-    Arnoldi chunk (Woodbury zeroed -> pure P^{-1} pencil applies)."""
+@partial(__import__("jax").jit,
+         static_argnames=("mode", "nrefine", "m", "n_op"))
+def _basis_impl(op, Lz: Z, sig: Z, mode: str, nrefine: int, m: int,
+                n_op: int):
+    """W = P^{-1} L and the m-step Krylov expansion started from W (or
+    [W; sigma W] for the companion pencil), fused into ONE dispatch."""
+    import jax.numpy as jnp
+
+    solve = _solve_wbb if mode.endswith("b") else _solve_wb
+    W = solve(op.sv, Lz, nrefine)
+    if mode.startswith("eps"):
+        v0 = W
+    else:
+        v0 = Z(jnp.concatenate([W.re, sig.re * W.re - sig.im * W.im]),
+               jnp.concatenate([W.im, sig.re * W.im + sig.im * W.re]))
+    nrm = jnp.sqrt(jnp.sum(v0.re**2 + v0.im**2))
+    v0 = Z(v0.re / nrm, v0.im / nrm)
+    V = Z(jnp.zeros((m + 1, n_op)).at[0].set(v0.re),
+          jnp.zeros((m + 1, n_op)).at[0].set(v0.im))
+    H = Z(jnp.zeros((m + 1, m)), jnp.zeros((m + 1, m)))
+    V, H = _arnoldi_expand(op, V, H, 0, m, mode, nrefine)
+    return V, W
+
+
+def _device_basis(factor, pencil, sigma: complex, mode: str, L0: np.ndarray,
+                  m: int, nrefine: int):
+    """Single-dispatch basis build on the dense/banded tiers.  Returns
+    (orthonormal rows (m', n_op), W numpy) — callers verify W against the
+    exact operator as the factorization health gate."""
     import jax.numpy as jnp
 
     sv = factor.solve_op()
+    sig = Z(jnp.asarray(complex(sigma).real), jnp.asarray(complex(sigma).imag))
     if mode in ("eps", "epsb"):
         op = EpsOp(sv=sv, C=pencil[0])
         n_op = pencil[0].n
     else:
         B, C = pencil
-        op = PepOp(sv=sv, B=B, C=C,
-                   sig=Z(jnp.asarray(sigma.real), jnp.asarray(sigma.imag)))
+        op = PepOp(sv=sv, B=B, C=C, sig=sig)
         n_op = 2 * C.n
-    V = Z(jnp.zeros((m + 1, n_op)).at[0].set(jnp.asarray(v0.real)),
-          jnp.zeros((m + 1, n_op)).at[0].set(jnp.asarray(v0.imag)))
-    H = Z(jnp.zeros((m + 1, m)), jnp.zeros((m + 1, m)))
-    V, H = _arnoldi_chunk(op, V, H, 0, m, mode, nrefine)
+    Lz = Z(jnp.asarray(np.ascontiguousarray(L0.real)),
+           jnp.asarray(np.ascontiguousarray(L0.imag)))
+    V, W = _basis_impl(op, Lz, sig, mode, nrefine, m, n_op)
     Vnp = np.asarray(V.re) + 1j * np.asarray(V.im)
+    Wnp = np.asarray(W.re) + 1j * np.asarray(W.im)
     # drop exact-zero rows after a happy breakdown
     keep = np.linalg.norm(Vnp, axis=1) > 1e-14
-    return Vnp[keep]
+    return Vnp[keep], Wnp
+
+
+def _apply_P_host(factor, x: np.ndarray) -> np.ndarray:
+    """Exact P x on host (scipy), tier-agnostic — the factor health check."""
+    from .linsolve import ShiftedFactor
+
+    if isinstance(factor, ShiftedFactor):
+        return factor._apply_P_np(x)
+    return factor._P @ x if hasattr(factor, "_P") else factor.lu.solve(x)
 
 
 def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
-                sigma: complex, eps_kind: bool, m: int) -> np.ndarray:
+                sigma: complex, eps_kind: bool, m: int) -> Optional[np.ndarray]:
     """Orthonormal rows (m', n) spanning the resolvent-Krylov space started
-    from W = P^{-1} L.  For the quadratic pencil the companion Krylov vectors
-    live in C^{2n}; both halves are collected and re-orthonormalized in C^n.
+    from W = P^{-1} L, or None when the factorization health gate fails
+    (callers fall back to the exact paths, whose lazy stability probes then
+    repair the factor).  For the quadratic pencil the companion Krylov
+    vectors live in C^{2n}; both halves are re-orthonormalized in C^n.
     """
     backend = getattr(factor, "backend", "dense")
+    # Basis-build solves shape the subspace only (Ah/Bh/Ch come from the
+    # exact f64 CSR operators), but the no-pivot banded LU's RAW solve can
+    # be ~1e-5 off (element growth), which shows up linearly in the final
+    # eigenvector residual — keep the factor's refinement sweeps.
     nrefine = factor.refine if backend == "banded" else (
         factor.nrefine if backend == "dense" else 0)
     L = np.asarray(L, dtype=np.complex128).reshape(A.n, -1)
     R = np.asarray(R, dtype=np.complex128).reshape(A.n, -1)
     k = L.shape[1]
-    W = np.stack([_solve_np(factor, L[:, j]) for j in range(k)], axis=1)
 
     if k == 1 and backend in ("dense", "banded"):
         mode = ("eps" if backend == "dense" else "epsb") if eps_kind else (
             "pep" if backend == "dense" else "pepb")
+        pencil = (C,) if eps_kind else (B, C)
+        rows, W = _device_basis(factor, pencil, sigma, mode, L[:, 0], m,
+                                nrefine)
+        # Health gate: catches divergent/garbage factorizations (f32 no-pivot
+        # blowup leaves residual >> 1).  Accuracy is still enforced by the
+        # final true-residual gate in projected_fpi; small W residuals only
+        # perturb the SUBSPACE, not the projected operators.
+        relW = float(np.linalg.norm(_apply_P_host(factor, W) - L[:, 0])
+                     / max(np.linalg.norm(L[:, 0]), 1e-300))
+        if not np.isfinite(relW) or relW > 1e-3:
+            info(f"! factor health check failed (W residual {relW:.1e}).")
+            return None
         if eps_kind:
-            v0 = W[:, 0] / np.linalg.norm(W[:, 0])
-            rows = _device_arnoldi_rows(factor, (C,), sigma, mode, v0, m, nrefine)
             return rows
-        z0 = np.concatenate([W[:, 0], sigma * W[:, 0]])
-        z0 /= np.linalg.norm(z0)
-        rows2n = _device_arnoldi_rows(factor, (B, C), sigma, mode, z0, m, nrefine)
         n = C.n
-        halves = np.concatenate([rows2n[:, :n], rows2n[:, n:]], axis=0)
-        halves = np.concatenate([halves, W.T], axis=0)
+        halves = np.concatenate([rows[:, :n], rows[:, n:]], axis=0)
         return _orth_rows(halves)
+
+    W = np.stack([_solve_np(factor, L[:, j]) for j in range(k)], axis=1)
 
     # rank k > 1 (or host tier): host-driven block Arnoldi
     depth = max(2, -(-m // max(k, 1)))
@@ -259,32 +309,16 @@ def true_rel_residual(A, B, C, L, R, s: complex, lam: complex,
 # the projected fixed-point iteration
 
 
-def projected_fpi(factor, operators, D, target: complex, nev: int, i: int,
-                  tol: float, maxiter: int, problem_type: str,
-                  print_results: bool, eps_kind: bool,
-                  m: Optional[int] = None) -> Optional[EigenResult]:
-    """Run the reference FPI on the projected pencil; returns an EigenResult
-    or None when the residual gate rejects (callers fall back to the exact
-    round-1 paths)."""
-    from .fpi import _flame_factors, _flame_scale
+def fpi_on_projection(proj: ProjectedPencil, D, target: complex, nev: int,
+                      i: int, tol: float, maxiter: int, problem_type: str,
+                      eps_kind: bool):
+    """The reference's Aitken-relaxed FPI on an already-projected pencil.
+    Returns (lam, Y, iterations) — eigenvalues/vectors of the projected
+    problem at the converged omega, ordered by |lambda - target^(2|1)|."""
+    from .fpi import _flame_scale
 
-    A, C = operators.A, operators.C
-    B = (operators.B_adj if problem_type == "adjoint" else operators.B) \
-        if not eps_kind else None
-    L, R = _flame_factors(D, problem_type)
-    k = np.asarray(L).reshape(A.n, -1).shape[1]
-    sigma = complex(target) if not eps_kind else complex(target) ** 2
     tgt = complex(target) if not eps_kind else complex(target) ** 2
-    if m is None:
-        m = int(os.environ.get("HELMHOLTZ_X_TPU_PROJ_M",
-                               max(48, 8 * k, 16 * nev)))
-    m = min(m, A.n)
-
-    info("--> Fixed point iteration started (resolvent-projection).\n")
-    V = build_basis(factor, A, B, C, L, R, sigma, eps_kind, m)
-    proj = project(V, A, B, C, L, R)
-    Lh, Rh = proj.Lh, proj.Rh
-    LRh = Lh @ Rh.T
+    LRh = proj.Lh @ proj.Rh.T
 
     def solve_proj(s: complex):
         Sh = proj.Ah - s * LRh
@@ -324,26 +358,69 @@ def projected_fpi(factor, operators, D, target: complex, nev: int, i: int,
             abs(domega)))
 
     # final projected solve at the converged omega for clean eigenpairs
-    om = omega[kk + 1]
-    sc = _flame_scale(D, om, problem_type)
+    sc = _flame_scale(D, omega[kk + 1], problem_type)
     lam, Y = solve_proj(sc)
+    return lam, Y, kk + 1, sc
+
+
+def finalize_projected(proj: ProjectedPencil, A, B, C, L, R, lam, Y, iters,
+                       sc: complex, sigma: complex, nev: int, i: int,
+                       eps_kind: bool, print_results: bool,
+                       gate: Optional[float] = None) -> Optional[EigenResult]:
+    """Recover full-space eigenpairs, verify the wanted one against the EXACT
+    operator, and package an EigenResult (None when the gate rejects)."""
     nkeep = min(max(nev, 2), len(lam))
-    vecs = V.T @ Y[:, :nkeep]
+    vecs = proj.V.T @ Y[:, :nkeep]
     vecs /= np.linalg.norm(vecs, axis=0, keepdims=True)
 
     rel = true_rel_residual(A, B, C, L, R, sc, lam[i], vecs[:, i])
-    if not np.isfinite(rel) or rel > float(
-            os.environ.get("HELMHOLTZ_X_TPU_PROJ_GATE", "1e-8")):
-        info(f"! projection residual {rel:.2e} too large (m={V.shape[0]}); "
+    if gate is None:
+        gate = float(os.environ.get("HELMHOLTZ_X_TPU_PROJ_GATE", "1e-8"))
+    if not np.isfinite(rel) or rel > gate:
+        info(f"! projection residual {rel:.2e} too large (m={proj.V.shape[0]}); "
              "falling back to the exact path.")
         return None
 
     res = EigenResult(kind="eps" if eps_kind else "pep", sigma=sigma,
                       eigenvalues=lam[:nkeep], vectors=vecs,
-                      iterations=kk + 1,
-                      residuals=np.full(nkeep, rel))
+                      iterations=iters, residuals=np.full(nkeep, rel))
     if print_results:
         from .arnoldi import _print_results
 
         _print_results(res)
     return res
+
+
+def default_m(k: int, nev: int) -> int:
+    return int(os.environ.get("HELMHOLTZ_X_TPU_PROJ_M",
+                              max(40, 8 * k, 16 * nev)))
+
+
+def projected_fpi(factor, operators, D, target: complex, nev: int, i: int,
+                  tol: float, maxiter: int, problem_type: str,
+                  print_results: bool, eps_kind: bool,
+                  m: Optional[int] = None) -> Optional[EigenResult]:
+    """Run the reference FPI on the projected pencil; returns an EigenResult
+    or None when the residual gate rejects (callers fall back to the exact
+    round-1 paths)."""
+    from .fpi import _flame_factors
+
+    A, C = operators.A, operators.C
+    B = (operators.B_adj if problem_type == "adjoint" else operators.B) \
+        if not eps_kind else None
+    L, R = _flame_factors(D, problem_type)
+    k = np.asarray(L).reshape(A.n, -1).shape[1]
+    sigma = complex(target) if not eps_kind else complex(target) ** 2
+    if m is None:
+        m = default_m(k, nev)
+    m = min(m, A.n)
+
+    info("--> Fixed point iteration started (resolvent-projection).\n")
+    V = build_basis(factor, A, B, C, L, R, sigma, eps_kind, m)
+    if V is None:
+        return None
+    proj = project(V, A, B, C, L, R)
+    lam, Y, iters, sc = fpi_on_projection(proj, D, target, nev, i, tol,
+                                          maxiter, problem_type, eps_kind)
+    return finalize_projected(proj, A, B, C, L, R, lam, Y, iters, sc, sigma,
+                              nev, i, eps_kind, print_results)
