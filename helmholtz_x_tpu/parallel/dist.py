@@ -39,11 +39,6 @@ class ShardedCSR(NamedTuple):
     vre: jnp.ndarray
     vim: jnp.ndarray
 
-    @property
-    def n_local(self) -> int:
-        # bound via companion field at build time
-        raise AttributeError
-
 
 def partition_csr(sp_mat, n_devices: int, mesh: Mesh):
     """Split a scipy CSR matrix into a ShardedCSR + padded size info.

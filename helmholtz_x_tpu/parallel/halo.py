@@ -1,0 +1,237 @@
+"""Halo-exchange sharded SpMV: O(halo) ICI traffic instead of O(n).
+
+The reference's PETSc 'mpiaij' SpMV ghost-updates only the boundary dof
+values each matvec (reference: flame_matrices.py:64-65 VecGhostUpdate;
+SURVEY §2.3).  The round-1 sharded SpMV all_gathered the ENTIRE dof vector
+per matvec (O(n) bytes per device).  Here the mesh is row-partitioned in
+contiguous blocks after a bandwidth-reducing (RCM) ordering, so every
+off-block column lies within a fixed halo width `hw` of the block edges;
+each SpMV exchanges just two (hw,)-slabs with the two neighbour shards via
+`ppermute` — the TPU-native VecGhostUpdate:
+
+    left  halo <- ppermute(x[-hw:], shift +1)   (from shard s-1)
+    right halo <- ppermute(x[:hw],  shift -1)   (from shard s+1)
+    window = [left | x | right];  local COO columns pre-mapped into window
+    coordinates at partition time.
+
+XLA overlaps the two ppermutes with the interior segment-sum automatically
+(independent dataflow).  Falls back to the all_gather layout (dist.py) when
+the matrix bandwidth exceeds one block (partition_halo_csr raises).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .dist import AXIS
+
+
+class HaloCSR(NamedTuple):
+    """Row-partitioned CSR in padded per-shard COO form with WINDOW-local
+    column ids (window = [left halo | own block | right halo]).
+
+    Leading dim = n_devices (sharded over AXIS):
+      local_rows (nd, nnz_max) int32
+      cols_win   (nd, nnz_max) int32 — column id in window coordinates
+      vre, vim   (nd, nnz_max) f64
+    """
+
+    local_rows: jnp.ndarray
+    cols_win: jnp.ndarray
+    vre: jnp.ndarray
+    vim: jnp.ndarray
+
+
+def halo_width(sp_mat, n_devices: int) -> int:
+    """Max distance of any nonzero from its row's block, i.e. the ghost-layer
+    width a contiguous row partition needs (0 when block-diagonal)."""
+    import scipy.sparse as sp
+
+    m = sp.coo_matrix(sp_mat)
+    n = m.shape[0]
+    n_local = -(-n // n_devices)
+    blk = m.row // n_local
+    lo = blk * n_local
+    hi = lo + n_local
+    return int(max(np.maximum(lo - m.col, 0).max(initial=0),
+                   np.maximum(m.col - (hi - 1), 0).max(initial=0)))
+
+
+def partition_halo_csr(sp_mat, n_devices: int, mesh: Mesh,
+                       hw: int | None = None):
+    """Partition into a HaloCSR.  Returns (halo_csr, n_pad, n_local, hw).
+
+    Raises ValueError when the bandwidth needs more than one neighbour block
+    (hw > n_local) — callers fall back to the all_gather SpMV.
+    """
+    import scipy.sparse as sp
+
+    m = sp.coo_matrix(sp_mat)
+    n = m.shape[0]
+    n_local = -(-n // n_devices)
+    n_pad = n_local * n_devices
+    need = halo_width(sp_mat, n_devices)
+    if hw is None:
+        hw = need
+    elif hw < need:
+        raise ValueError(f"forced hw={hw} < needed {need}")
+    if hw > n_local:
+        raise ValueError(
+            f"halo width {hw} exceeds block size {n_local}; matrix bandwidth "
+            "too wide for the 1-neighbour halo layout (use the all_gather "
+            "SpMV or fewer shards)")
+    shard_of = m.row // n_local
+    local_row = m.row % n_local
+    # window coordinate: col - (shard*n_local - hw)
+    col_win = m.col - (shard_of * n_local - hw)
+    counts = np.bincount(shard_of, minlength=n_devices)
+    nnz_max = max(int(counts.max()), 1)
+    lr = np.zeros((n_devices, nnz_max), np.int32)
+    cw = np.zeros((n_devices, nnz_max), np.int32)
+    vr = np.zeros((n_devices, nnz_max))
+    vi = np.zeros((n_devices, nnz_max))
+    fill = np.zeros(n_devices, np.int64)
+    order = np.argsort(shard_of, kind="stable")
+    for idx in order:
+        s = shard_of[idx]
+        j = fill[s]
+        lr[s, j] = local_row[idx]
+        cw[s, j] = col_win[idx]
+        vr[s, j] = m.data[idx].real
+        vi[s, j] = m.data[idx].imag if np.iscomplexobj(m.data) else 0.0
+        fill[s] += 1
+    sh = NamedSharding(mesh, P(AXIS, None))
+    return (
+        HaloCSR(local_rows=jax.device_put(jnp.asarray(lr), sh),
+                cols_win=jax.device_put(jnp.asarray(cw), sh),
+                vre=jax.device_put(jnp.asarray(vr), sh),
+                vim=jax.device_put(jnp.asarray(vi), sh)),
+        n_pad, n_local, hw,
+    )
+
+
+def halo_window(xr, xi, hw: int, n_devices: int):
+    """Exchange boundary slabs with both neighbours (inside shard_map) and
+    return the local window [left | x | right].  hw = 0 short-circuits."""
+    if hw == 0:
+        return xr, xi
+    perm_fwd = [(i, i + 1) for i in range(n_devices - 1)]
+    perm_bwd = [(i + 1, i) for i in range(n_devices - 1)]
+    # missing sources leave the halo zero-filled (edge shards)
+    lh_r = jax.lax.ppermute(xr[-hw:], AXIS, perm=perm_fwd)
+    lh_i = jax.lax.ppermute(xi[-hw:], AXIS, perm=perm_fwd)
+    rh_r = jax.lax.ppermute(xr[:hw], AXIS, perm=perm_bwd)
+    rh_i = jax.lax.ppermute(xi[:hw], AXIS, perm=perm_bwd)
+    return (jnp.concatenate([lh_r, xr, rh_r]),
+            jnp.concatenate([lh_i, xi, rh_i]))
+
+
+def halo_spmv(h_blk: HaloCSR, xr, xi, hw: int, n_local: int, n_devices: int):
+    """One shard's rows times the halo window of the dof vector.
+    xr, xi: (n_local,) own block (inside shard_map, leading dim stripped)."""
+    wr, wi = halo_window(xr, xi, hw, n_devices)
+    lr = h_blk.local_rows[0]
+    cols = h_blk.cols_win[0]
+    vre = h_blk.vre[0]
+    vim = h_blk.vim[0]
+    xr_g = wr[cols]
+    xi_g = wi[cols]
+    pr = vre * xr_g - vim * xi_g
+    pi = vre * xi_g + vim * xr_g
+    return (jax.ops.segment_sum(pr, lr, num_segments=n_local),
+            jax.ops.segment_sum(pi, lr, num_segments=n_local))
+
+
+def _lstsq_hessenberg(Hr, Hi, beta, m: int):
+    """min ||beta e1 - H y|| for the complex (m+1, m) Hessenberg via QR of
+    the real embedding — backward stable (replaces the normal-equations
+    solve, which squares the conditioning)."""
+    emb = jnp.block([[Hr, -Hi], [Hi, Hr]])  # (2(m+1), 2m)
+    rhs = jnp.zeros(2 * (Hr.shape[0]),).at[0].set(beta)
+    q, r = jnp.linalg.qr(emb)
+    y = jax.scipy.linalg.solve_triangular(r, q.T @ rhs, lower=False)
+    return y[:m], y[m:]
+
+
+def make_halo_gmres_solve(mesh: Mesh, H_sh: HaloCSR, hw: int, n_local: int,
+                          n_devices: int, m_krylov: int = 40, pc=None):
+    """Jitted distributed GMRES(m) on the halo layout: SpMV = two ppermute
+    slabs + local segment-sum; dots = psum.  With `pc` (stacked BandedFactor
+    from dist.build_block_jacobi) the iteration is left-preconditioned; the
+    host restart loop checks the TRUE residual so the answer is unchanged."""
+    from jax import shard_map
+
+    from ..ops.banded import banded_substitute
+
+    def solve_local(Hb, bre, bim, *pcs):
+        bre, bim = bre[0], bim[0]
+
+        def spmv(vr, vi):
+            return halo_spmv(Hb, vr, vi, hw, n_local, n_devices)
+
+        if pcs:
+            fl = jax.tree.map(lambda a: a[0], pcs[0])
+
+            def op(vr, vi):
+                wr, wi = spmv(vr, vi)
+                z = banded_substitute(fl, wr, wi, False, n_local)
+                return z.re, z.im
+
+            z0 = banded_substitute(fl, bre, bim, False, n_local)
+            bre, bim = z0.re, z0.im
+        else:
+            op = spmv
+
+        Vr = jnp.zeros((m_krylov + 1, n_local))
+        Vi = jnp.zeros((m_krylov + 1, n_local))
+        nrm2 = jax.lax.psum(jnp.sum(bre * bre + bim * bim), AXIS)
+        beta = jnp.sqrt(nrm2)
+        inv = jnp.where(beta > 0, 1 / beta, 0.0)
+        Vr = Vr.at[0].set(bre * inv)
+        Vi = Vi.at[0].set(bim * inv)
+        H = jnp.zeros((m_krylov + 1, m_krylov, 2))
+
+        def body(j, carry):
+            Vr, Vi, H = carry
+            wr, wi = op(Vr[j], Vi[j])
+            # CGS2 with psum'd dots
+            hre = jnp.zeros(m_krylov + 1)
+            him = jnp.zeros(m_krylov + 1)
+            for _ in range(2):
+                pr = jax.lax.psum(Vr @ wr + Vi @ wi, AXIS)
+                pi_ = jax.lax.psum(Vr @ wi - Vi @ wr, AXIS)
+                wr = wr - (Vr.T @ pr - Vi.T @ pi_)
+                wi = wi - (Vr.T @ pi_ + Vi.T @ pr)
+                hre = hre + pr
+                him = him + pi_
+            b2 = jax.lax.psum(jnp.sum(wr * wr + wi * wi), AXIS)
+            bj = jnp.sqrt(b2)
+            invj = jnp.where(bj > 1e-300, 1 / bj, 0.0)
+            Vr = Vr.at[j + 1].set(wr * invj)
+            Vi = Vi.at[j + 1].set(wi * invj)
+            hcol = jnp.stack([hre.at[j + 1].set(bj), him.at[j + 1].set(0.0)],
+                             axis=-1)
+            H = H.at[:, j, :].set(hcol)
+            return Vr, Vi, H
+
+        Vr, Vi, H = jax.lax.fori_loop(0, m_krylov, body, (Vr, Vi, H))
+        yr, yi = _lstsq_hessenberg(H[..., 0], H[..., 1], beta, m_krylov)
+        xr = Vr[:m_krylov].T @ yr - Vi[:m_krylov].T @ yi
+        xi = Vr[:m_krylov].T @ yi + Vi[:m_krylov].T @ yr
+        return xr[None], xi[None]
+
+    pc_specs = (jax.tree.map(lambda _: P(AXIS), pc),) if pc is not None else ()
+    fn = jax.jit(shard_map(
+        solve_local, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)) + pc_specs,
+        out_specs=(P(AXIS, None), P(AXIS, None)),
+        check_vma=False,
+    ))
+    if pc is not None:
+        return lambda Hb, br, bi: fn(Hb, br, bi, pc)
+    return fn
