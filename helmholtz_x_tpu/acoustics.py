@@ -125,6 +125,18 @@ class AcousticMatrices:
         info("- Matrix C is assembled.\n")
 
     def _surface_avg_gamma(self, tag: int) -> float:
+        """Surface-averaged gamma over ds(tag) (reference:
+        acoustic_matrices.py:75-90).  For a DG0 (per-cell) temperature the
+        gamma values live on cells, so they must be evaluated on the facet's
+        adjacent cell — indexing them with facet vertex ids would silently
+        average the wrong entries."""
+        if self.dg0:
+            from .fem.assembly import facet_adjacent_cells
+
+            facets = self.mesh.facets_with_tag(tag)
+            meas = self.mesh.facet_measures(facets)
+            gf = self.gamma.values[facet_adjacent_cells(self.mesh, facets)]
+            return float(np.sum(meas * gf) / meas.sum())
         area = facet_integral_p1(self.mesh, tag)
         return facet_integral_p1(self.mesh, tag, self.gamma.values) / area
 

@@ -66,18 +66,29 @@ def half_gaussian_function(mesh: Mesh, x_flame, a_flame, degree: int = 1) -> Fie
 
 def gamma_function(temperature):
     """Variable specific-heat ratio gamma(T) with the reference's cp(T) fit
-    (reference: parameters_utils.py:62-78)."""
-    t = temperature.values if isinstance(temperature, Field) else np.asarray(temperature)
+    (reference: parameters_utils.py:62-78).
+
+    Preserves the representation of the input: a P1 ``Field`` yields a P1
+    gamma, a per-cell ``DGField`` yields a per-cell gamma (so downstream
+    facet integrals index it with cell ids, not vertex ids)."""
+    t = temperature.values if hasattr(temperature, "values") else np.asarray(temperature)
     cp = 973.60091 + 0.1333 * t
     cv = cp - R_GAS
     g = cp / cv
-    return Field(g, "gamma") if isinstance(temperature, Field) else g
+    if isinstance(temperature, Field):
+        return Field(g, "gamma")
+    if hasattr(temperature, "values"):  # DGField
+        return type(temperature)(g, "gamma")
+    return g
 
 
-def sound_speed_variable_gamma(mesh: Mesh, temperature: Field, degree: int = 1) -> Field:
+def sound_speed_variable_gamma(mesh: Mesh, temperature, degree: int = 1):
     g = gamma_function(temperature)
-    gv = g.values if isinstance(g, Field) else g
-    return Field(np.sqrt(gv * R_GAS * temperature.values), "soundspeed")
+    gv = g.values if hasattr(g, "values") else g
+    c = np.sqrt(gv * R_GAS * temperature.values)
+    if isinstance(temperature, Field):
+        return Field(c, "soundspeed")
+    return type(temperature)(c, "soundspeed")
 
 
 def sound_speed(temperature: Field) -> Field:
