@@ -1,10 +1,10 @@
-"""Rijke tube 1D — active (nonlinear) eigensolve with the n-tau flame model.
+"""Rijke tube 1D — adjoint (left) nonlinear eigensolve.
 
-Mirrors the reference script numerical_examples/Longitudinal/NetworkCode/
-RijkeTube1D/active.py on this framework's API.  Expected eigenvalue
-(reference Results/Active/active.log): 1242.185123+6.683160j.
+Mirrors numerical_examples/Longitudinal/NetworkCode/RijkeTube1D/active_adj.py.
+Expected eigenvalue (reference Results/Active/active_adj.log):
+1242.185123-6.683160j — the conjugate of the direct mode.
 
-Run:  python examples/rijke_tube_1d/active.py
+Run:  python examples/rijke_tube_1d/active_adj.py
 """
 
 import os
@@ -40,14 +40,15 @@ rho = rho_step(mesh, params.x_f, params.a_f, params.rho_d, params.rho_u)
 w = gaussian_function(mesh, params.x_r, params.a_r)
 h = gaussian_function(mesh, params.x_f, params.a_f)
 D = DistributedFlameMatrix(mesh, w, h, rho, T, params.q_0, params.u_b, FTF)
-D.assemble_submatrices()
+D.assemble_submatrices("adjoint")
 
 target = 200 * 2 * np.pi
-E = fixed_point_iteration(matrices, D, target, nev=2, i=0)
+E = fixed_point_iteration(matrices, D, target, nev=2, i=0,
+                          problem_type="adjoint")
 
-omega, p_active = normalize_eigenvector(mesh, E, 0)
-v = velocity_eigenvector(mesh, p_active, omega, rho)
+omega, p_adjoint = normalize_eigenvector(mesh, E, 0)
+v = velocity_eigenvector(mesh, p_adjoint, omega, rho)
 
-write_function_xdmf(RESULTS + "/p", mesh, p_active.values)
-dict_writer(RESULTS + "/eigenvalues", {"direct": omega})
+write_function_xdmf(RESULTS + "/p_adj", mesh, p_adjoint.values)
+dict_writer(RESULTS + "/eigenvalues_adj", {"adjoint": omega})
 execution_time(start)

@@ -58,24 +58,50 @@ def normalize_eigenvector(mesh: Mesh, obj: EigenResult, i: int, absolute: bool =
 
 def velocity_eigenvector(mesh: Mesh, p: Field, omega: complex, rho, degree: int = 1,
                          normalize: bool = True, absolute: bool = False):
-    """u = grad(p) / (i omega rho) from the momentum equation
-    (reference: eigenvectors.py:66-123).  The cellwise-constant P1 gradient is
-    interpolated to vertices (last-write order, matching dolfinx Expression
-    interpolation into CG1)."""
-    g = mesh.cell_grads()  # (nc, d+1, d)
-    pe = p.values[mesh.cells]  # (nc, d+1)
-    grad_cell = np.einsum("ki,kid->kd", pe, g)  # (nc, d)
+    """u = grad(p) / (i omega rho) from the momentum equation, interpolated
+    into a (vector) CG space of the given degree (reference:
+    eigenvectors.py:66-123).
+
+    grad(p) is discontinuous across cells, so CG interpolation at shared dofs
+    is a choice: dofs are written per cell in ASCENDING cell order (NumPy
+    setitem keeps the last occurrence), i.e. the highest-indexed adjacent
+    cell wins — the deterministic analogue of dolfinx Expression.interpolate,
+    which also writes cell-by-cell in cell order."""
     d = mesh.dim
-    vals = np.zeros((mesh.num_vertices, d), dtype=np.complex128)
-    for loc in range(d + 1):
-        vals[mesh.cells[:, loc]] = grad_cell
+    if degree == 1:
+        g = mesh.cell_grads()  # (nc, d+1, d)
+        grad_cell = np.einsum("ki,kid->kd", p.values[mesh.cells], g)  # (nc, d)
+        vals = np.zeros((mesh.num_vertices, d), dtype=np.complex128)
+        vals[mesh.cells.ravel()] = np.repeat(grad_cell, d + 1, axis=0)
+        rho_dofs = rho.values if isinstance(rho, Field) else rho
+        sq_int = lambda v: integrate_p1_squared(mesh, v)  # noqa: E731
+    elif degree == 2:
+        from .fem.p2 import P2Space, eval_p2_at_points, integrate_pp_p2
+
+        space = P2Space.build(mesh)
+        dofs = space.cell_dofs  # (nc, nloc)
+        pts = space.dof_coordinates()[dofs.ravel()]
+        cells_flat = np.repeat(np.arange(mesh.num_cells), space.nloc)
+        _, grads, _ = eval_p2_at_points(space, p.values.astype(np.complex128),
+                                        cells_flat, pts)
+        vals = np.zeros((space.ndofs, d), dtype=np.complex128)
+        vals[dofs.ravel()] = grads
+        rho_dofs = (space.interpolate_p1(rho.values)
+                    if isinstance(rho, Field) else rho)
+        sq_int = lambda v: integrate_pp_p2(space, v)  # noqa: E731
+    else:
+        raise NotImplementedError(f"unsupported degree {degree}")
+
     if isinstance(rho, Field):
-        vals = vals / rho.values[:, None]
+        vals = vals / np.asarray(rho_dofs)[:, None]
     else:
         vals = vals / rho
     vals = vals / (1j * omega)
     if normalize:
-        meas = np.sqrt(sum(integrate_p1_squared(mesh, vals[:, c]) for c in range(d)))
+        # int u . conj(u) dx = 1 (reference uses UFL inner(v,v), which
+        # conjugates in complex mode — unlike the pressure's p*p measure)
+        meas = np.sqrt(sum(sq_int(vals[:, c].real) + sq_int(vals[:, c].imag)
+                           for c in range(d)))
         vals = vals / meas
     if absolute:
         mag = np.abs(np.sqrt(np.sum(vals**2, axis=1)))

@@ -263,3 +263,43 @@ def _scatter_p2(space: P2Space, elem: np.ndarray, dirichlet_dofs=None) -> CSR:
     cols = np.concatenate(cols)
     vre = np.concatenate(vre)
     return csr_from_coo(space.ndofs, rows, cols, vre, np.zeros_like(vre))
+
+
+def eval_p2_at_points(space: P2Space, vals: np.ndarray, cell_ids: np.ndarray,
+                      pts: np.ndarray):
+    """Evaluate a P2 dof vector at physical points lying in known cells.
+
+    Returns (value, gradient, laplacian) arrays of shapes (np,), (np, d),
+    (np,).  On an affine simplex the P2 basis is quadratic in the barycentric
+    coordinates, so the gradient is linear per cell and the laplacian is a
+    per-cell constant: lap(N_a) = 4 g_a.g_a (vertex), lap(N_ab) = 8 g_a.g_b
+    (edge), with g_a = grad(lambda_a).  Used by the degree-2 shape-derivative
+    surface integrals (reference evaluates the same quantities through UFL,
+    shape_derivatives.py:19)."""
+    mesh = space.mesh
+    d = mesh.dim
+    g = mesh.cell_grads()[cell_ids]            # (np, d+1, d)
+    v0 = mesh.points[mesh.cells[cell_ids, 0], :d]
+    dx = pts[:, :d] - v0                       # (np, d)
+    lam = np.einsum("pad,pd->pa", g, dx)
+    lam[:, 0] += 1.0                           # lambda(v0) = e_0
+
+    dofs = space.cell_dofs[cell_ids]           # (np, nloc)
+    fe = vals[dofs]                            # (np, nloc)
+
+    N = _basis(lam, d)                         # (np, nloc)
+    value = np.einsum("pl,pl->p", N, fe)
+
+    coef = _basis_grad_coeff(lam, d)           # (np, nloc, d+1)
+    gradN = np.einsum("pla,pad->pld", coef, g)
+    grad = np.einsum("pld,pl->pd", gradN, fe)
+
+    gg = np.einsum("pad,pbd->pab", g, g)       # (np, d+1, d+1)
+    nvert = d + 1
+    lapN = np.empty((len(cell_ids), space.nloc))
+    for a in range(nvert):
+        lapN[:, a] = 4.0 * gg[:, a, a]
+    for e, (a, b) in enumerate(_EDGE_LOCAL[d]):
+        lapN[:, nvert + e] = 8.0 * gg[:, a, b]
+    lap = np.einsum("pl,pl->p", lapN, fe)
+    return value, grad, lap

@@ -105,6 +105,12 @@ def write_function_xdmf(name: str, mesh: Mesh, values: np.ndarray,
         pts = np.concatenate([pts, np.zeros_like(pts)], axis=1)
         geom_type = "XY"
     vals = np.asarray(values)
+    if vals.shape[0] > mesh.num_vertices:
+        # degree-2 (or higher) field: vertex dofs lead the dof layout, so the
+        # restriction to the first num_vertices entries IS the degree-1
+        # interpolant — the reference likewise interpolates degree>1 fields
+        # to degree 1 before writing (reference io_utils.py:40-60)
+        vals = vals[: mesh.num_vertices]
     cplx = np.iscomplexobj(vals)
     with h5py.File(h5name, "w") as f:
         f["points"] = pts

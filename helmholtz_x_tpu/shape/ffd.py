@@ -130,3 +130,69 @@ def surface_normals(mesh: Mesh, tag: int):
     lens[lens == 0] = 1.0
     vert_normal = vert_normal / lens
     return unit, vert_normal
+
+
+def write_ffd_points(lattice: FFDCylindrical, name: str) -> str:
+    """Write the lattice control points as a ParaView-readable .vtu point
+    cloud (reference: shape_derivatives_utils.py:156-165 via pyevtk)."""
+    import os
+
+    r = lattice.Pr.ravel()
+    phi = lattice.Pphi.ravel()
+    z = lattice.Pz.ravel()
+    x, y, z = cyl2cart(r, phi, z)
+    n = len(x)
+    os.makedirs(os.path.dirname(os.path.abspath(name)) or ".", exist_ok=True)
+    coords = " ".join(f"{a} {b} {c}" for a, b, c in zip(x, y, z))
+    conn = " ".join(str(i) for i in range(n))
+    offs = " ".join(str(i + 1) for i in range(n))
+    types = " ".join("1" for _ in range(n))  # VTK_VERTEX
+    xml = (
+        '<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">'
+        f'<UnstructuredGrid><Piece NumberOfPoints="{n}" NumberOfCells="{n}">'
+        '<Points><DataArray type="Float64" NumberOfComponents="3" format="ascii">'
+        f"{coords}</DataArray></Points><Cells>"
+        f'<DataArray type="Int32" Name="connectivity" format="ascii">{conn}</DataArray>'
+        f'<DataArray type="Int32" Name="offsets" format="ascii">{offs}</DataArray>'
+        f'<DataArray type="UInt8" Name="types" format="ascii">{types}</DataArray>'
+        "</Cells></Piece></UnstructuredGrid></VTKFile>"
+    )
+    path = name + ".vtu"
+    with open(path, "w") as f:
+        f.write(xml)
+    print("FFD points are saved as " + path)
+    return path
+
+
+def deform_mesh_local(mesh: Mesh, lattice: FFDCylindrical) -> Mesh:
+    """Local FFD morphing: only vertices INSIDE the lattice box (parametric
+    coordinates in [0,1]^3) move; the rest of the mesh is untouched
+    (reference: deformCylindricalLocalFFD, shape_derivatives_utils.py:298-318,
+    which re-adds the non-local gmsh entities with their original nodes)."""
+    s, t, u = lattice.calc_stu(mesh.points)
+    eps = 1e-12
+    inside = ((s >= -eps) & (s <= 1 + eps) & (t >= -eps) & (t <= 1 + eps)
+              & (u >= -eps) & (u <= 1 + eps))
+    pts = mesh.points.copy()
+    pts[inside] = lattice.deform_points(mesh.points[inside])
+    return Mesh(points=pts, cells=mesh.cells.copy(), dim=mesh.dim,
+                cell_tag_indices=mesh.cell_tag_indices.copy(),
+                cell_tag_values=mesh.cell_tag_values.copy(),
+                facets=mesh.facets.copy(),
+                facet_tag_values=mesh.facet_tag_values.copy())
+
+
+def ffd_displacement_vector(mesh: Mesh, lattice: FFDCylindrical,
+                            surface_tag: int, i: int, j: int, k: int) -> np.ndarray:
+    """Vertex displacement field (nv, 3) of control point (i,j,k): the tensor
+    Bernstein weight carried along the outward surface normal, nonzero only
+    on the tagged surface (reference: shape_derivatives.py:39-77, which
+    queries gmsh parametric normals; here normals come from the facet
+    geometry itself)."""
+    _, vert_normal = surface_normals(mesh, surface_tag)
+    w = lattice.bernstein_weight(i, j, k, mesh.points)
+    on_surface = np.zeros(mesh.num_vertices, dtype=bool)
+    on_surface[np.unique(mesh.facets_with_tag(surface_tag))] = True
+    out = np.zeros((mesh.num_vertices, 3))
+    out[on_surface] = w[on_surface, None] * vert_normal[on_surface]
+    return out
