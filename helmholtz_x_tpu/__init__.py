@@ -14,9 +14,15 @@ The package enables ``jax_enable_x64`` at import time: the physics requires
 1e-8 eigenvalue tolerances at |omega| ~ 1e3, which f32 cannot deliver.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+if _os.environ.get("HELMHOLTZ_X_FORCE_CPU", "") not in ("", "0"):
+    # opt-out of the accelerator backend (e.g. examples/run_all.sh sweeps on
+    # a machine whose sitecustomize pins an experimental TPU plugin)
+    _jax.config.update("jax_platforms", "cpu")
 
 from .acoustics import AcousticMatrices
 from .ftf import nTau, stateSpace

@@ -80,3 +80,41 @@ def _perm22(a):
         p[j] = a
         out.append(p)
     return out
+
+
+def collapsed_rule(dim: int, npts_1d: int):
+    """Collapsed (Duffy) tensor Gauss rule on the simplex: exactness grows
+    with npts_1d, points differ from the symmetric tables above.  Used to
+    PROVE quadrature convergence of assembled operators (the deg-2 gates pin
+    values that are converged under refinement of this rule; residual
+    deviation from the reference is then the reference's FFCx quadrature
+    estimate, not ours)."""
+    x, w = np.polynomial.legendre.leggauss(npts_1d)
+    x = 0.5 * (x + 1.0)
+    w = 0.5 * w
+    if dim == 1:
+        pts = np.stack([1 - x, x], axis=1)
+        return pts, w
+    if dim == 2:
+        P, W = [], []
+        for a, wa in zip(x, w):
+            for b, wb in zip(x, w):
+                u = a
+                v = b * (1 - a)
+                P.append([1 - u - v, u, v])
+                W.append(wa * wb * (1 - a))
+        P, W = np.array(P), np.array(W)
+        return P, W / W.sum()
+    if dim == 3:
+        P, W = [], []
+        for a, wa in zip(x, w):
+            for b, wb in zip(x, w):
+                for c, wc in zip(x, w):
+                    u = a
+                    v = b * (1 - a)
+                    t = c * (1 - a) * (1 - b)
+                    P.append([1 - u - v - t, u, v, t])
+                    W.append(wa * wb * wc * (1 - a) ** 2 * (1 - b))
+        P, W = np.array(P), np.array(W)
+        return P, W / W.sum()
+    raise ValueError(f"unsupported dim {dim}")

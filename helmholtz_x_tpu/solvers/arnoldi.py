@@ -460,6 +460,10 @@ def eps_solver(A: CSR, C: CSR, target: complex, nev: int = 2,
             left[:, i] = yv / np.linalg.norm(yv)
         res.left_vectors = left
     info("- EPS solver converged. Eigenvalue computed.")
+    from ..utils.metrics import record
+
+    record("arnoldi", kind="eps", backend=backend, n=n, steps=j,
+           nconv=res.nconv, two_sided=two_sided)
     if print_results:
         _print_results(res)
     return res
@@ -514,6 +518,10 @@ def pep_solver(A: CSR, B: CSR, C: CSR, target: complex, nev: int = 2,
     info("- PEP solver converged. Eigenvalue computed.")
     res = EigenResult(kind="pep", sigma=sigma, eigenvalues=lams[:nkeep],
                       vectors=vecs, iterations=j, residuals=rel)
+    from ..utils.metrics import record
+
+    record("arnoldi", kind="pep", backend=backend, n=n, steps=j,
+           nconv=res.nconv, two_sided=False)
     if print_results:
         _print_results(res)
     return res

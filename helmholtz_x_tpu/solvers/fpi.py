@@ -62,14 +62,18 @@ def _run_fused(factor, pencil, D, sigma: complex, nev: int, i: int,
     import jax
 
     if jax.default_backend() != "cpu":
-        # The remote-TPU worker dies executing the fused while_loop once the
-        # live basis exceeds ~2e5 elements (empirical; plain chunked Arnoldi
-        # of the same shapes is fine).  Shrink the subspace to fit — the
-        # warm-started expansions converge in far fewer steps than a cold
-        # SLEPc-style solve — and leave genuinely big problems unfused.
-        budget = int(os.environ.get("HELMHOLTZ_X_TPU_FUSED_ELEMS", 150_000))
-        if (mmax + 1) * n_op > budget:
-            mmax = budget // n_op - 1
+        # Root-caused in tools/probe_fused.py (docs/fused_probe.json): the
+        # remote-TPU tunnel kills any single dispatch running past ~280 s
+        # wall and the worker then needs minutes to restart.  It is a
+        # DURATION limit, not memory — a 300k-element basis executes fine
+        # with a short loop but dies with the full 50-iteration loop.
+        # Measured throughput ~29k basis-element-iterations/s at mmax=48, so
+        # budget the dispatch work (mmax+1)*n_op*maxiter to stay well under
+        # the deadline and shrink the subspace to fit; the warm-started
+        # expansions converge in far fewer steps than a cold solve.
+        work_budget = float(os.environ.get("HELMHOLTZ_X_TPU_FUSED_WORK", 6e6))
+        cap = int(work_budget / (n_op * max(maxiter, 1))) - 1
+        mmax = min(mmax, cap)
         if mmax < max(16, 4 * nev):
             return None
     rng = np.random.default_rng(7)
@@ -85,9 +89,7 @@ def _run_fused(factor, pencil, D, sigma: complex, nev: int, i: int,
         info(f"! fused FPI failed on this backend ({type(e).__name__}); "
              "falling back to the host-driven loop.")
         if jax.default_backend() != "cpu":
-            import time
-
-            time.sleep(60)  # give a crashed remote worker time to restart
+            _wait_for_device()  # a killed dispatch restarts the remote worker
         return None
     niter = int(it)
     hist_np = (np.asarray(hist.re) + 1j * np.asarray(hist.im))[:niter]
@@ -141,6 +143,29 @@ def _run_fused(factor, pencil, D, sigma: complex, nev: int, i: int,
 
         _print_results(res)
     return res
+
+
+def _wait_for_device(deadline_s: float = 300.0) -> None:
+    """Block until the accelerator answers a trivial dispatch again.
+
+    After the tunnel kills an over-deadline dispatch the remote worker
+    restarts itself; the restart takes a variable few minutes
+    (docs/fused_probe.json), so poll with backoff instead of a fixed sleep."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    wait = 2.0
+    while time.time() - t0 < deadline_s:
+        try:
+            jax.block_until_ready(jnp.zeros(8) + 1.0)
+            return
+        except Exception:
+            time.sleep(wait)
+            wait = min(2 * wait, 30.0)
+    info("! device still unavailable; subsequent dispatches may fail.")
 
 
 def _fmt(tol: float) -> str:
@@ -307,12 +332,22 @@ def fixed_point_iteration(operators, D, target: complex, nev: int = 2, i: int = 
                           problem_type: str = "direct") -> EigenResult:
     """Dispatch: quadratic pencil when B exists, else the linear one
     (reference: eigensolvers.py:261-276)."""
-    if operators.B is not None:
-        return fixed_point_iteration_pep(operators, D, target, nev=nev, i=i,
-                                         tol=tol, maxiter=maxiter,
-                                         print_results=print_results,
-                                         problem_type=problem_type)
-    return fixed_point_iteration_eps(operators, D, target, nev=nev, i=i,
-                                     tol=tol, maxiter=maxiter,
-                                     print_results=print_results,
-                                     problem_type=problem_type)
+    from ..utils.metrics import profiled, timed
+
+    with profiled("fixed_point_iteration"), \
+            timed("fpi", problem_type=problem_type, n=operators.C.n,
+                  kind="pep" if operators.B is not None else "eps") as m:
+        if operators.B is not None:
+            E = fixed_point_iteration_pep(operators, D, target, nev=nev, i=i,
+                                          tol=tol, maxiter=maxiter,
+                                          print_results=print_results,
+                                          problem_type=problem_type)
+        else:
+            E = fixed_point_iteration_eps(operators, D, target, nev=nev, i=i,
+                                          tol=tol, maxiter=maxiter,
+                                          print_results=print_results,
+                                          problem_type=problem_type)
+        lam = E.getEigenvalue(i)
+        m["iters"] = E.iterations
+        m["omega"] = complex(np.sqrt(lam) if E.kind == "eps" else lam)
+        return E

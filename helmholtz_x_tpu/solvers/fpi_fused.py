@@ -310,7 +310,16 @@ def _fused_fpi_impl(sv_base, pencil, W: Z, R: Z, G: Z, p: FTFParams,
         nomr = jnp.where(it == 0, fr, afr + aor)
         nomi = jnp.where(it == 0, fi, afi + aoi)
         d = jnp.sqrt((nomr - omr) ** 2 + (nomi - omi) ** 2)
-        dmag2 = jnp.where(it == 0, 2.0 * tol + 1.0, d)
+        # stagnation stop: the fixed-mmax warm-started inner solves have a
+        # small noise floor (~5e-8 observed, docs/fused_probe.json), so near
+        # convergence |domega| can plateau just above a very tight tol and
+        # the loop would otherwise burn all maxiter iterations.  Once the
+        # update is tiny (< 1e3*tol) and no longer decreasing, declare
+        # convergence by forcing the magnitude below tol.
+        stagnated = jnp.logical_and(
+            it > 1, jnp.logical_and(d < 1e3 * tol, d >= dmag))
+        dmag2 = jnp.where(it == 0, 2.0 * tol + 1.0,
+                          jnp.where(stagnated, 0.5 * tol, d))
         hist = Z(hist.re.at[it].set(nomr), hist.im.at[it].set(nomi))
         wr_ = yr @ Vz.re[:mmax] - yi @ Vz.im[:mmax]
         wi_ = yr @ Vz.im[:mmax] + yi @ Vz.re[:mmax]

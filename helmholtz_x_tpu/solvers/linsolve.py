@@ -534,8 +534,11 @@ def build_shifted_factor(terms, n: int):
                 tier = "dense"
     elif n <= DENSE_DOF_LIMIT and tier not in ("banded", "host"):
         tier = "dense"
-    if tier == "dense":
-        return ShiftedFactor.from_terms(terms, n)
-    if tier == "banded":
-        return BandedShiftedFactor(csr_weighted_scipy(terms), terms=terms)
-    return SparseShiftedFactor(csr_weighted_scipy(terms))
+    from ..utils.metrics import timed
+
+    with timed("factor", n=n, tier=tier):
+        if tier == "dense":
+            return ShiftedFactor.from_terms(terms, n)
+        if tier == "banded":
+            return BandedShiftedFactor(csr_weighted_scipy(terms), terms=terms)
+        return SparseShiftedFactor(csr_weighted_scipy(terms))

@@ -422,5 +422,12 @@ def projected_fpi(factor, operators, D, target: complex, nev: int, i: int,
     proj = project(V, A, B, C, L, R)
     lam, Y, iters, sc = fpi_on_projection(proj, D, target, nev, i, tol,
                                           maxiter, problem_type, eps_kind)
-    return finalize_projected(proj, A, B, C, L, R, lam, Y, iters, sc, sigma,
-                              nev, i, eps_kind, print_results)
+    res = finalize_projected(proj, A, B, C, L, R, lam, Y, iters, sc, sigma,
+                             nev, i, eps_kind, print_results)
+    if res is not None:
+        from ..utils.metrics import record
+
+        record("projection", kind="eps" if eps_kind else "pep", n=A.n,
+               basis=V.shape[0] if hasattr(V, "shape") else m,
+               outer_iters=int(iters), rank=k)
+    return res
