@@ -65,16 +65,23 @@ def main():
               "note": "timed as one fused scan dispatch"}
     best = nnz / dt
 
-    # Block-banded Pallas kernel (gather-free, f32): the dense-block SpMV
-    # used where operators are RCM-banded.  Counts the SAME CSR nnz so the
-    # numbers are comparable as "useful nonzeros per second".
-    pallas_dt = _bench_pallas_band(A, nnz)
-    if pallas_dt is not None:
-        detail["pallas_band_wall_per_spmv_s"] = round(pallas_dt, 6)
-        detail["pallas_band_nnz_per_s"] = round(nnz / pallas_dt, 1)
-        if nnz / pallas_dt > best:
-            best = nnz / pallas_dt
-            detail["kernel"] = "pallas-block-banded-f32"
+    # Block-banded kernels (gather-free): the dense-block SpMV used where
+    # operators are RCM-banded.  Counts the SAME CSR nnz so the numbers are
+    # comparable as "useful nonzeros per second".  Variants:
+    #   pallas f32            — MXU kernel, f32 operands
+    #   xla f64               — production-accuracy einsum path
+    #   pallas ds (f32x2)     — double-single kernel, f64-class accuracy
+    for name, dt, acc in _bench_band_variants(A, nnz):
+        if dt is None:
+            detail[f"{name}_error"] = str(acc)[:200]
+            continue
+        detail[f"{name}_wall_per_spmv_s"] = round(dt, 6)
+        detail[f"{name}_nnz_per_s"] = round(nnz / dt, 1)
+        if acc is not None:
+            detail[f"{name}_rel_err_vs_f64"] = float(f"{acc:.3e}")
+        if nnz / dt > best and (acc is None or acc < 1e-11):
+            best = nnz / dt
+            detail["kernel"] = name
 
     print(json.dumps({
         "metric": "csr_spmv_nnz_per_s",
@@ -85,18 +92,22 @@ def main():
     }))
 
 
-def _bench_pallas_band(A, nnz, iters: int = 100):
-    """Time the Pallas block-banded matvec on the RCM-banded form of A.
-    Returns seconds per matvec, or None when the kernel is unavailable
-    (CPU backend / pallas import failure)."""
+def _bench_band_variants(A, nnz, iters: int = 100):
+    """Time the block-banded matvec variants on the RCM-banded form of A.
+    Yields (name, seconds_per_matvec_or_None, rel_err_vs_f64_or_None)."""
     import scipy.sparse as sp
 
     from helmholtz_x_tpu.native import rcm
     from helmholtz_x_tpu.ops.banded import build_band
-    from helmholtz_x_tpu.ops.pallas_band import HAS_PALLAS, band_matvec_pallas
+    from helmholtz_x_tpu.ops.pallas_band import (
+        HAS_PALLAS,
+        band_matvec_pallas,
+        band_matvec_pallas_ds,
+        band_matvec_xla,
+    )
 
     if jax.default_backend() == "cpu" or not HAS_PALLAS:
-        return None
+        return
     a = sp.csr_matrix(
         (np.asarray(A.data.re) + 1j * np.asarray(A.data.im),
          np.asarray(A.indices), np.asarray(A.indptr)), shape=(A.n, A.n))
@@ -105,29 +116,61 @@ def _bench_pallas_band(A, nnz, iters: int = 100):
     perm = rcm(sym.indptr.astype(np.int64), sym.indices.astype(np.int64))
     nb = 128  # pallas kernel tiling constraint (nb % 128 == 0)
     band_re, band_im, W, nbk, nbkp, npad = build_band(a, perm, nb)
-    br = jnp.asarray(band_re, jnp.float32)
-    bi = jnp.asarray(band_im, jnp.float32)
     rng = np.random.default_rng(1)
-    xr = jnp.asarray(rng.standard_normal(npad), jnp.float32)
-    xi = jnp.asarray(rng.standard_normal(npad), jnp.float32)
+    x64 = rng.standard_normal(npad) + 1j * rng.standard_normal(npad)
+    x64[A.n:] = 0.0
+    # ground truth in permuted space (f64 scipy)
+    ap = a[perm][:, perm]
+    yref = np.zeros(npad, complex)
+    yref[:A.n] = ap @ x64[:A.n]
+    nref = np.linalg.norm(yref)
 
-    @jax.jit
-    def chain(br, bi, xr, xi):
-        def body(carry, _):
-            cr, ci = carry
-            yr, yi = band_matvec_pallas(br, bi, cr, ci, W, nb, nbkp)
-            s = (1.0 / jnp.sqrt(jnp.sum(yr * yr + yi * yi))).astype(jnp.float32)
-            return (yr * s, yi * s), None
+    def timed_chain(fn, args, dtype):
+        @jax.jit
+        def chain(*args):
+            def body(carry, _):
+                yr, yi = fn(args[0], args[1], carry[0], carry[1])
+                s = (1.0 / jnp.sqrt(jnp.sum(yr * yr + yi * yi))).astype(dtype)
+                return (yr * s, yi * s), None
 
-        out, _ = jax.lax.scan(body, (xr, xi), None, length=iters)
-        return out
+            out, _ = jax.lax.scan(body, (args[2], args[3]), None, length=iters)
+            return out
 
-    out = chain(br, bi, xr, xi)
-    np.asarray(out[0])  # compile + warmup
-    t0 = time.perf_counter()
-    out = chain(br, bi, xr, xi)
-    np.asarray(out[0])
-    return (time.perf_counter() - t0) / iters
+        out = chain(*args)
+        np.asarray(out[0])  # compile + warmup
+        t0 = time.perf_counter()
+        out = chain(*args)
+        np.asarray(out[0])
+        return (time.perf_counter() - t0) / iters
+
+    def accuracy(fn, br, bi, xr, xi):
+        yr, yi = jax.jit(fn)(br, bi, xr, xi)
+        y = np.asarray(yr, np.float64) + 1j * np.asarray(yi, np.float64)
+        return np.linalg.norm(y - yref) / nref
+
+    br64 = jnp.asarray(band_re)
+    bi64 = jnp.asarray(band_im)
+    xr64 = jnp.asarray(x64.real)
+    xi64 = jnp.asarray(x64.imag)
+
+    f32args = (br64.astype(jnp.float32), bi64.astype(jnp.float32),
+               xr64.astype(jnp.float32), xi64.astype(jnp.float32))
+    fn32 = lambda br, bi, xr, xi: band_matvec_pallas(  # noqa: E731
+        br, bi, xr, xi, W, nb, nbkp)
+    fn64 = lambda br, bi, xr, xi: band_matvec_xla(  # noqa: E731
+        br, bi, xr, xi, W, nb, nbkp)
+    fnds = lambda br, bi, xr, xi: band_matvec_pallas_ds(  # noqa: E731
+        br, bi, xr, xi, W, nb, nbkp)
+    variants = [
+        ("pallas_band_f32", fn32, f32args, jnp.float32),
+        ("xla_band_f64", fn64, (br64, bi64, xr64, xi64), jnp.float64),
+        ("pallas_band_ds", fnds, (br64, bi64, xr64, xi64), jnp.float64),
+    ]
+    for name, fn, args, dtype in variants:
+        try:
+            yield (name, timed_chain(fn, args, dtype), accuracy(fn, *args))
+        except Exception as e:  # report, keep benching the other variants
+            yield (name, None, f"{type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

@@ -159,3 +159,265 @@ def band_matvec(band_re, band_im, x: Z, W: int, nb: int, nbkp: int,
     fn = band_matvec_pallas if (use_pallas and HAS_PALLAS) else band_matvec_xla
     yr, yi = fn(band_re, band_im, x.re, x.im, W, nb, nbkp)
     return Z(yr, yi)
+
+
+# ---------------------------------------------------------------------------
+# Double-single (f32 hi+lo) variant: f64-class accuracy at f64 memory traffic
+# without any f64 arithmetic inside the kernel (Mosaic lowers none).  Each
+# f64 operand is split as hi = f32(v), lo = f32(v - hi); products use Dekker
+# TwoProd (Veltkamp splitting — no FMA primitive is exposed), sums use Knuth
+# TwoSum, and the row reduction is a pairwise tree that carries the error
+# term, so the result keeps ~2^-48 relative accuracy end to end.
+# ---------------------------------------------------------------------------
+
+
+def _two_sum(a, b):
+    s = a + b
+    v = s - a
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+def _two_prod(a, b):
+    p = a * b
+    ca = jnp.float32(4097.0) * a  # Veltkamp split at 2^12+1
+    a_hi = ca - (ca - a)
+    a_lo = a - a_hi
+    cb = jnp.float32(4097.0) * b
+    b_hi = cb - (cb - b)
+    b_lo = b - b_hi
+    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, e
+
+
+def _ds_add(xh, xl, yh, yl):
+    s, e = _two_sum(xh, yh)
+    return s, e + xl + yl
+
+
+def _ds_neg(xh, xl):
+    return -xh, -xl
+
+
+def _ds_prod(ah, al, bh, bl):
+    """(ah+al) * (bh+bl) in double-single."""
+    p, e = _two_prod(ah, bh)
+    return p, e + ah * bl + al * bh
+
+
+def _ds_tree_reduce(h, l, n: int):
+    """Pairwise DS reduction over the trailing axis (length n, power of 2)."""
+    while n > 1:
+        n //= 2
+        h1, h2 = h[..., :n], h[..., n:2 * n]
+        l1, l2 = l[..., :n], l[..., n:2 * n]
+        h, l = _ds_add(h1, l1, h2, l2)
+    return h[..., 0], l[..., 0]
+
+
+def _kernel_ds(brh_ref, brl_ref, bih_ref, bil_ref,
+               xrh_ref, xrl_ref, xih_ref, xil_ref,
+               yrh_ref, yrl_ref, yih_ref, yil_ref,
+               *, W: int, nb: int, nbkp: int):
+    """Grid (nbkp, 2W+1): one (block row, block diagonal) pair per step, so
+    VMEM holds a single (nb, nb) band block per operand — the whole-row
+    variant blew the 16 MiB scoped-VMEM limit at W=8.  The output block is
+    revisited across the (sequential, minor) s axis and accumulated in DS."""
+    s = pl.program_id(1)
+
+    arh, arl = brh_ref[0, 0], brl_ref[0, 0]          # (nb, nb)
+    aih, ail = bih_ref[0, 0], bil_ref[0, 0]
+    xrh = xrh_ref[0, 0, 0].reshape(1, nb)            # broadcast over rows
+    xrl = xrl_ref[0, 0, 0].reshape(1, nb)
+    xih = xih_ref[0, 0, 0].reshape(1, nb)
+    xil = xil_ref[0, 0, 0].reshape(1, nb)
+    # complex DS products: re = ar*xr - ai*xi, im = ar*xi + ai*xr
+    p1h, p1l = _ds_prod(arh, arl, xrh, xrl)
+    p2h, p2l = _ds_prod(aih, ail, xih, xil)
+    reh, rel_ = _ds_add(p1h, p1l, *_ds_neg(p2h, p2l))
+    p3h, p3l = _ds_prod(arh, arl, xih, xil)
+    p4h, p4l = _ds_prod(aih, ail, xrh, xrl)
+    imh, iml = _ds_add(p3h, p3l, p4h, p4l)
+    # row sums (reduce over columns j)
+    srh, srl = _ds_tree_reduce(reh, rel_, nb)
+    sih, sil = _ds_tree_reduce(imh, iml, nb)
+
+    @pl.when(s == 0)
+    def _init():
+        yrh_ref[0] = jnp.zeros((nb // 128, 128), jnp.float32)
+        yrl_ref[0] = jnp.zeros((nb // 128, 128), jnp.float32)
+        yih_ref[0] = jnp.zeros((nb // 128, 128), jnp.float32)
+        yil_ref[0] = jnp.zeros((nb // 128, 128), jnp.float32)
+
+    acc_rh, acc_rl = _ds_add(yrh_ref[0].reshape(nb), yrl_ref[0].reshape(nb),
+                             srh, srl)
+    acc_ih, acc_il = _ds_add(yih_ref[0].reshape(nb), yil_ref[0].reshape(nb),
+                             sih, sil)
+    yrh_ref[0] = acc_rh.reshape(nb // 128, 128)
+    yrl_ref[0] = acc_rl.reshape(nb // 128, 128)
+    yih_ref[0] = acc_ih.reshape(nb // 128, 128)
+    yil_ref[0] = acc_il.reshape(nb // 128, 128)
+
+
+def ds_split(v):
+    """f64 array -> (hi, lo) f32 pair with v == hi + lo to f32x2 precision."""
+    hi = v.astype(jnp.float32)
+    lo = (v - hi.astype(v.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+@partial(jax.jit, static_argnames=("W", "nb", "nbkp", "interpret"))
+def band_matvec_pallas_ds(band_re, band_im, xre, xim, W: int, nb: int,
+                          nbkp: int, interpret: bool = False):
+    """y = A x with f64 operands, computed by the double-single Pallas
+    kernel; returns f64 (hi + lo recombined).  nb % 128 == 0 required."""
+    assert nb % 128 == 0
+    brh, brl = ds_split(band_re)
+    bih, bil = ds_split(band_im)
+    xrh64, xrl64 = ds_split(xre)
+    xih64, xil64 = ds_split(xim)
+    # windows carry a singleton sublane dim so the (1, 1, 1, nb) block
+    # satisfies Mosaic's last-two-dims tiling rule
+    xw = [_x_windows(v, W, nb, nbkp).reshape(nbkp, 2 * W + 1, 1, nb)
+          for v in (xrh64, xrl64, xih64, xil64)]
+    kern = partial(_kernel_ds, W=W, nb=nb, nbkp=nbkp)
+    f32 = jnp.float32
+    out_shape = tuple(jax.ShapeDtypeStruct((nbkp, nb // 128, 128), f32)
+                      for _ in range(4))
+    win = pl.BlockSpec((1, 1, 1, nb), lambda r, s: (r, s, _i32(0), _i32(0)),
+                       memory_space=pltpu.VMEM)
+    band_spec = pl.BlockSpec((1, 1, nb, nb),
+                             lambda r, s: (r, s, _i32(0), _i32(0)),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, nb // 128, 128),
+                            lambda r, s: (r, _i32(0), _i32(0)),
+                            memory_space=pltpu.VMEM)
+    yrh, yrl, yih, yil = pl.pallas_call(
+        kern,
+        grid=(nbkp, 2 * W + 1),
+        in_specs=[band_spec] * 4 + [win] * 4,
+        out_specs=(out_spec,) * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(brh, brl, bih, bil, *xw)
+    yre = yrh.reshape(-1).astype(jnp.float64) + yrl.reshape(-1).astype(jnp.float64)
+    yim = yih.reshape(-1).astype(jnp.float64) + yil.reshape(-1).astype(jnp.float64)
+    return yre, yim
+
+
+# ---------------------------------------------------------------------------
+# Block-sparse double-single variant: the block-banded storage of RCM-ordered
+# 3D FEM operators is mostly structural zeros (MICCA: 40% zero blocks, and
+# the band stores ~170x the CSR nnz overall).  A scalar-prefetch grid walks
+# only the nonzero blocks, skipping their DMA and their DS arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def band_ds_compact(band_re, band_im, nb: int):
+    """Host-side: compact (nbkp, 2W+1, nb, nb) band arrays to the nonzero
+    blocks, pre-split into DS (hi, lo) f32 pairs.
+
+    Returns (parts, rof, sof, first) where parts = (brh, brl, bih, bil) of
+    shape (nblk, nb, nb) and the int32 metadata gives each compact block's
+    block row, diagonal slot, and whether it is the first block of its row
+    (the kernel zero-initializes the output there).  Every block row keeps
+    its main-diagonal block even when zero so each output row is visited.
+    """
+    nbkp, ndiag = band_re.shape[0], band_re.shape[1]
+    W = (ndiag - 1) // 2
+    nz = (np.abs(band_re) + np.abs(band_im)).reshape(nbkp, ndiag, -1).max(2) > 0
+    nz[:, W] = True  # keep main-diagonal blocks: every row gets initialized
+    rof, sof = np.nonzero(nz)  # row-major order -> row entries consecutive
+    first = np.zeros(len(rof), np.int32)
+    first[np.unique(rof, return_index=True)[1]] = 1
+    parts = []
+    for arr in (band_re, band_im):
+        hi = arr[rof, sof].astype(np.float32)
+        lo = (arr[rof, sof] - hi.astype(np.float64)).astype(np.float32)
+        parts.extend([jnp.asarray(hi), jnp.asarray(lo)])
+    return (tuple(parts), jnp.asarray(rof.astype(np.int32)),
+            jnp.asarray(sof.astype(np.int32)), jnp.asarray(first))
+
+
+def _kernel_ds_sparse(rof_ref, sof_ref, first_ref,
+                      brh_ref, brl_ref, bih_ref, bil_ref,
+                      xrh_ref, xrl_ref, xih_ref, xil_ref,
+                      yrh_ref, yrl_ref, yih_ref, yil_ref, *, nb: int):
+    k = pl.program_id(0)
+    arh, arl = brh_ref[0], brl_ref[0]                # (nb, nb)
+    aih, ail = bih_ref[0], bil_ref[0]
+    xrh = xrh_ref[0, 0, 0].reshape(1, nb)
+    xrl = xrl_ref[0, 0, 0].reshape(1, nb)
+    xih = xih_ref[0, 0, 0].reshape(1, nb)
+    xil = xil_ref[0, 0, 0].reshape(1, nb)
+    p1h, p1l = _ds_prod(arh, arl, xrh, xrl)
+    p2h, p2l = _ds_prod(aih, ail, xih, xil)
+    reh, rel_ = _ds_add(p1h, p1l, *_ds_neg(p2h, p2l))
+    p3h, p3l = _ds_prod(arh, arl, xih, xil)
+    p4h, p4l = _ds_prod(aih, ail, xrh, xrl)
+    imh, iml = _ds_add(p3h, p3l, p4h, p4l)
+    srh, srl = _ds_tree_reduce(reh, rel_, nb)
+    sih, sil = _ds_tree_reduce(imh, iml, nb)
+
+    @pl.when(first_ref[k] == 1)
+    def _init():
+        yrh_ref[0] = jnp.zeros((nb // 128, 128), jnp.float32)
+        yrl_ref[0] = jnp.zeros((nb // 128, 128), jnp.float32)
+        yih_ref[0] = jnp.zeros((nb // 128, 128), jnp.float32)
+        yil_ref[0] = jnp.zeros((nb // 128, 128), jnp.float32)
+
+    acc_rh, acc_rl = _ds_add(yrh_ref[0].reshape(nb), yrl_ref[0].reshape(nb),
+                             srh, srl)
+    acc_ih, acc_il = _ds_add(yih_ref[0].reshape(nb), yil_ref[0].reshape(nb),
+                             sih, sil)
+    yrh_ref[0] = acc_rh.reshape(nb // 128, 128)
+    yrl_ref[0] = acc_rl.reshape(nb // 128, 128)
+    yih_ref[0] = acc_ih.reshape(nb // 128, 128)
+    yil_ref[0] = acc_il.reshape(nb // 128, 128)
+
+
+@partial(jax.jit, static_argnames=("W", "nb", "nbkp"))
+def band_matvec_pallas_ds_sparse(parts, rof, sof, first, xre, xim,
+                                 W: int, nb: int, nbkp: int):
+    """y = A x over the compacted nonzero blocks (band_ds_compact output);
+    f64-class accuracy like band_matvec_pallas_ds, less traffic and work."""
+    assert nb % 128 == 0
+    brh, brl, bih, bil = parts
+    nblk = brh.shape[0]
+    xrh64, xrl64 = ds_split(xre)
+    xih64, xil64 = ds_split(xim)
+    xw = [_x_windows(v, W, nb, nbkp).reshape(nbkp, 2 * W + 1, 1, nb)
+          for v in (xrh64, xrl64, xih64, xil64)]
+    kern = partial(_kernel_ds_sparse, nb=nb)
+    f32 = jnp.float32
+    out_shape = tuple(jax.ShapeDtypeStruct((nbkp, nb // 128, 128), f32)
+                      for _ in range(4))
+    band_spec = pl.BlockSpec(
+        (1, nb, nb), lambda k, rof, sof, first: (k, _i32(0), _i32(0)),
+        memory_space=pltpu.VMEM)
+    win = pl.BlockSpec(
+        (1, 1, 1, nb),
+        lambda k, rof, sof, first: (rof[k], sof[k], _i32(0), _i32(0)),
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (1, nb // 128, 128),
+        lambda k, rof, sof, first: (rof[k], _i32(0), _i32(0)),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nblk,),
+        in_specs=[band_spec] * 4 + [win] * 4,
+        out_specs=(out_spec,) * 4,
+    )
+    yrh, yrl, yih, yil = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(rof, sof, first, brh, brl, bih, bil, *xw)
+    yre = yrh.reshape(-1).astype(jnp.float64) + yrl.reshape(-1).astype(jnp.float64)
+    yim_ = yih.reshape(-1).astype(jnp.float64) + yil.reshape(-1).astype(jnp.float64)
+    return yre, yim_

@@ -36,3 +36,27 @@ a_f = 0.025
 
 x_r = np.array([[0.20, 0.0, 0.0]])
 a_r = 0.025
+
+
+def build_case(n_elem: int = 3000):
+    """Assembled (mesh, matrices, D) for the dimensional Rijke-tube active
+    case — shared by the FPI and Newton tests."""
+    from helmholtz_x_tpu.acoustics import AcousticMatrices
+    from helmholtz_x_tpu.fem.fields import (
+        gaussian_function,
+        rho_step,
+        temperature_step,
+    )
+    from helmholtz_x_tpu.flame import DistributedFlameMatrix
+    from helmholtz_x_tpu.ftf import nTau
+    from helmholtz_x_tpu.mesh import one_dimensional_setup
+
+    mesh = one_dimensional_setup(n_elem)
+    T = temperature_step(mesh, x_f, T_u, T_d)
+    matrices = AcousticMatrices(mesh, {1: {"Neumann"}, 2: {"Neumann"}}, T)
+    rho = rho_step(mesh, x_f, a_f, rho_d, rho_u)
+    D = DistributedFlameMatrix(mesh, gaussian_function(mesh, x_r, a_r),
+                               gaussian_function(mesh, x_f, a_f), rho, T,
+                               q_0, u_b, nTau(n, tau))
+    D.assemble_submatrices()
+    return mesh, matrices, D

@@ -99,7 +99,7 @@ def test_bloch_active():
     D.assemble_submatrices("direct")
     D.blochify()
 
-    E = fixed_point_iteration(bloch, D, 3200 + 500j, nev=3, i=0, tol=1e-3)
+    E = fixed_point_iteration(bloch, D, 3200 + 500j, nev=3, i=0, tol=1e-8)
     omega, _ = normalize_eigenvector(mesh, E, 0, BlochRemapper=bloch.remapper)
     # Gate value from this framework's geometric pairing, PROVEN exact:
     # stitching 16 rotated copies of this sector (34,080 dofs) with 16

@@ -50,21 +50,21 @@ def _build(problem_type):
 @pytest.mark.slow
 def test_micca_full_fpi_direct():
     mesh, matrices, D = _build("direct")
-    E = fixed_point_iteration(matrices, D, 3225.120 + 481.0j, i=0, nev=4, tol=1e-3)
+    E = fixed_point_iteration(matrices, D, 3225.120 + 481.0j, i=0, nev=4, tol=1e-8)
     om1, _ = normalize_eigenvector(mesh, E, 0)
     om2, _ = normalize_eigenvector(mesh, E, 1)
     e1 = 3253.754657 + 472.569066j
     e2 = 3248.702502 + 452.115564j
     got = sorted([om1, om2], key=lambda z: -z.imag)
-    assert abs(got[0] - e1) / abs(e1) < 1e-5, got
-    assert abs(got[1] - e2) / abs(e2) < 1e-5, got
+    assert abs(got[0] - e1) / abs(e1) < 1e-6, got
+    assert abs(got[1] - e2) / abs(e2) < 1e-6, got
 
 
 @pytest.mark.slow
 def test_micca_full_fpi_adjoint():
     mesh, matrices, D = _build("adjoint")
     E = fixed_point_iteration(matrices, D, 3225.120 - 481.0j, i=0, nev=4,
-                              tol=1e-3, problem_type="adjoint")
+                              tol=1e-8, problem_type="adjoint")
     om1, _ = normalize_eigenvector(mesh, E, 0)
     e1 = 3253.754657 - 472.569066j
-    assert abs(om1 - e1) / abs(e1) < 1e-5, om1
+    assert abs(om1 - e1) / abs(e1) < 1e-6, om1

@@ -26,7 +26,7 @@ TARGETS = {
 @pytest.mark.parametrize("target", sorted(TARGETS))
 def test_micca_mode(target):
     mesh, matrices, D = _build("direct")
-    E = fixed_point_iteration(matrices, D, target, i=0, nev=4, tol=1e-3)
+    E = fixed_point_iteration(matrices, D, target, i=0, nev=4, tol=1e-8)
     omega, _ = normalize_eigenvector(mesh, E, 0)
     expected = TARGETS[target]
-    assert abs(omega - expected) / abs(expected) < 1e-5, omega
+    assert abs(omega - expected) / abs(expected) < 1e-6, omega
