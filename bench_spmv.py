@@ -101,8 +101,10 @@ def _bench_band_variants(A, nnz, iters: int = 100):
     from helmholtz_x_tpu.ops.banded import build_band
     from helmholtz_x_tpu.ops.pallas_band import (
         HAS_PALLAS,
+        band_ds_compact,
         band_matvec_pallas,
         band_matvec_pallas_ds,
+        band_matvec_pallas_ds_sparse,
         band_matvec_xla,
     )
 
@@ -125,26 +127,29 @@ def _bench_band_variants(A, nnz, iters: int = 100):
     yref[:A.n] = ap @ x64[:A.n]
     nref = np.linalg.norm(yref)
 
-    def timed_chain(fn, args, dtype):
+    def timed_chain(fn, mat_args, x_args, dtype):
+        # mat_args are passed as jit ARGUMENTS (closing over them would bake
+        # hundreds of MB of constants into the HLO and blow the remote
+        # tunnel's compile-request size limit)
         @jax.jit
-        def chain(*args):
+        def chain(mat_args, xr, xi):
             def body(carry, _):
-                yr, yi = fn(args[0], args[1], carry[0], carry[1])
+                yr, yi = fn(*mat_args, carry[0], carry[1])
                 s = (1.0 / jnp.sqrt(jnp.sum(yr * yr + yi * yi))).astype(dtype)
                 return (yr * s, yi * s), None
 
-            out, _ = jax.lax.scan(body, (args[2], args[3]), None, length=iters)
+            out, _ = jax.lax.scan(body, (xr, xi), None, length=iters)
             return out
 
-        out = chain(*args)
+        out = chain(mat_args, *x_args)
         np.asarray(out[0])  # compile + warmup
         t0 = time.perf_counter()
-        out = chain(*args)
+        out = chain(mat_args, *x_args)
         np.asarray(out[0])
         return (time.perf_counter() - t0) / iters
 
-    def accuracy(fn, br, bi, xr, xi):
-        yr, yi = jax.jit(fn)(br, bi, xr, xi)
+    def accuracy(fn, mat_args, x_args):
+        yr, yi = jax.jit(lambda m, xr, xi: fn(*m, xr, xi))(mat_args, *x_args)
         y = np.asarray(yr, np.float64) + 1j * np.asarray(yi, np.float64)
         return np.linalg.norm(y - yref) / nref
 
@@ -153,22 +158,29 @@ def _bench_band_variants(A, nnz, iters: int = 100):
     xr64 = jnp.asarray(x64.real)
     xi64 = jnp.asarray(x64.imag)
 
-    f32args = (br64.astype(jnp.float32), bi64.astype(jnp.float32),
-               xr64.astype(jnp.float32), xi64.astype(jnp.float32))
     fn32 = lambda br, bi, xr, xi: band_matvec_pallas(  # noqa: E731
         br, bi, xr, xi, W, nb, nbkp)
     fn64 = lambda br, bi, xr, xi: band_matvec_xla(  # noqa: E731
         br, bi, xr, xi, W, nb, nbkp)
     fnds = lambda br, bi, xr, xi: band_matvec_pallas_ds(  # noqa: E731
         br, bi, xr, xi, W, nb, nbkp)
+    parts, rof, sof, first = band_ds_compact(band_re, band_im, nb)
+    fnds_sp = lambda p, r, s, f, xr, xi: band_matvec_pallas_ds_sparse(  # noqa: E731
+        p, r, s, f, xr, xi, W, nb, nbkp)
+    x64args = (xr64, xi64)
     variants = [
-        ("pallas_band_f32", fn32, f32args, jnp.float32),
-        ("xla_band_f64", fn64, (br64, bi64, xr64, xi64), jnp.float64),
-        ("pallas_band_ds", fnds, (br64, bi64, xr64, xi64), jnp.float64),
+        ("pallas_band_f32", fn32,
+         (br64.astype(jnp.float32), bi64.astype(jnp.float32)),
+         (xr64.astype(jnp.float32), xi64.astype(jnp.float32)), jnp.float32),
+        ("xla_band_f64", fn64, (br64, bi64), x64args, jnp.float64),
+        ("pallas_band_ds", fnds, (br64, bi64), x64args, jnp.float64),
+        ("pallas_band_ds_sparse", fnds_sp, (parts, rof, sof, first),
+         x64args, jnp.float64),
     ]
-    for name, fn, args, dtype in variants:
+    for name, fn, mat_args, x_args, dtype in variants:
         try:
-            yield (name, timed_chain(fn, args, dtype), accuracy(fn, *args))
+            yield (name, timed_chain(fn, mat_args, x_args, dtype),
+                   accuracy(fn, mat_args, x_args))
         except Exception as e:  # report, keep benching the other variants
             yield (name, None, f"{type(e).__name__}: {e}")
 

@@ -23,6 +23,11 @@ if _os.environ.get("HELMHOLTZ_X_FORCE_CPU", "") not in ("", "0"):
     # opt-out of the accelerator backend (e.g. examples/run_all.sh sweeps on
     # a machine whose sitecustomize pins an experimental TPU plugin)
     _jax.config.update("jax_platforms", "cpu")
+if _os.environ.get("HELMHOLTZ_X_TPU_DEBUG", "") not in ("", "0"):
+    # debug mode (SURVEY §5 race-detection/debug plan): raise on the first
+    # NaN produced inside any jitted computation instead of propagating it
+    # into a silently-wrong eigenvalue
+    _jax.config.update("jax_debug_nans", True)
 
 from .acoustics import AcousticMatrices
 from .ftf import nTau, stateSpace

@@ -329,10 +329,28 @@ def fixed_point_iteration_pep(operators, D, target: complex, nev: int = 2,
 def fixed_point_iteration(operators, D, target: complex, nev: int = 2, i: int = 0,
                           tol: float = 1e-8, maxiter: int = 50,
                           print_results: bool = False,
-                          problem_type: str = "direct") -> EigenResult:
+                          problem_type: str = "direct",
+                          checkpoint: str | None = None) -> EigenResult:
     """Dispatch: quadratic pencil when B exists, else the linear one
-    (reference: eigensolvers.py:261-276)."""
+    (reference: eigensolvers.py:261-276).
+
+    ``checkpoint``: optional path; the converged omega is written there and,
+    if the file already exists (an earlier run died after partial progress),
+    its omega replaces ``target`` so the restarted solve resumes from the
+    best available estimate (SURVEY §5 restartable-outer-loop plan — the
+    reference simply reruns from scratch)."""
     from ..utils.metrics import profiled, timed
+
+    if checkpoint is not None:
+        import os as _os
+
+        if _os.path.exists(checkpoint + ".txt"):
+            from ..utils.io import dict_loader
+
+            saved = dict_loader(checkpoint)
+            if "omega" in saved:
+                target = complex(saved["omega"])
+                info(f"- Resuming FPI from checkpointed omega {target:.6f}")
 
     with profiled("fixed_point_iteration"), \
             timed("fpi", problem_type=problem_type, n=operators.C.n,
@@ -349,5 +367,11 @@ def fixed_point_iteration(operators, D, target: complex, nev: int = 2, i: int = 
                                           problem_type=problem_type)
         lam = E.getEigenvalue(i)
         m["iters"] = E.iterations
-        m["omega"] = complex(np.sqrt(lam) if E.kind == "eps" else lam)
+        omega = complex(np.sqrt(lam) if E.kind == "eps" else lam)
+        m["omega"] = omega
+        if checkpoint is not None:
+            from ..utils.io import dict_writer
+
+            dict_writer(checkpoint, {"omega": omega,
+                                     "problem_type": problem_type})
         return E
