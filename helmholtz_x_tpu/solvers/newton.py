@@ -75,8 +75,10 @@ def newton_solver(operators, D, init: complex, nev: int = 2, i: int = 0,
         # target-distance ordering — near a doublet the ordering swaps
         # between iterations and index-following ping-pongs between the two
         # branches (the reference has the same instability; its heavy
-        # relaxation damping masks it).
-        if p is not None and E.nconv > 1:
+        # relaxation damping masks it).  Gated on adaptive: adaptive=False
+        # reproduces the reference's index-i selection as well as its step
+        # update (eigensolvers.py:317-337).
+        if adaptive and p is not None and E.nconv > 1:
             overlaps = [abs(np.vdot(p.values, E.getEigenvector(j)))
                         for j in range(E.nconv)]
             j_sel = int(np.argmax(overlaps))

@@ -41,9 +41,15 @@ def record(event: str, **fields) -> None:
         if isinstance(v, complex):
             v = [v.real, v.imag]
         rec[k] = v
-    _RECORDS.append(rec)
     if _DEST == "stderr":
+        # streamed immediately; never buffered (unbounded growth otherwise)
         print(json.dumps(rec), file=sys.stderr, flush=True)
+        return
+    _RECORDS.append(rec)
+    # flush in small batches so a killed process (the remote-TPU worker
+    # failure mode) loses at most the last few events, not the whole run
+    if len(_RECORDS) >= 20:
+        _flush()
 
 
 @contextmanager
