@@ -29,7 +29,24 @@ from .utils.logging import info
 
 class Blochifier:
     def __init__(self, geometry, boundary_conditions: dict, N: int,
-                 passive_matrices, b: float = 1.0):
+                 passive_matrices, b: float = 1.0,
+                 ordering: str = "geometric", dof_key=None):
+        """``ordering`` selects the master/slave pairing rule:
+
+        * ``"geometric"`` (default): each master dof is paired with the slave
+          dof that is its rotation image about z — the mathematically correct
+          Bloch map, proven exact against a stitched full annulus
+          (tests/test_bloch_stitched.py).
+        * ``"index"``: master and slave dof arrays are each sorted by dof
+          index and paired positionally — reproducing the REFERENCE's pairing
+          (reference bloch_operator.py:29-44, locate_dofs_topological returns
+          sorted arrays and boundary_map_points pairs them by position).
+          On meshes where index order is not the rotation map this produces a
+          perturbed reduced operator; kept for the falsification experiment
+          quantifying the reference's committed Bloch eigenvalues.
+          ``dof_key`` (optional, len n) sorts by an alternative dof
+          numbering (e.g. an emulated dolfinx local ordering).
+        """
         mesh: Mesh = geometry.mesh if hasattr(geometry, "mesh") else geometry
         self.mesh = mesh
         self.N_sectors = N
@@ -42,7 +59,15 @@ class Blochifier:
         dofs_slave = locate_dofs_on_facets(mesh, slave_tag)
         assert len(dofs_master) == len(dofs_slave)
 
-        pairs = self._match_pairs(mesh, dofs_master, dofs_slave)
+        if ordering == "index":
+            key = np.arange(mesh.num_vertices) if dof_key is None else np.asarray(dof_key)
+            pairs = np.stack([dofs_master[np.argsort(key[dofs_master], kind="stable")],
+                              np.asarray(dofs_slave)[np.argsort(key[dofs_slave], kind="stable")]],
+                             axis=1).astype(np.int64)
+        elif ordering == "geometric":
+            pairs = self._match_pairs(mesh, dofs_master, dofs_slave)
+        else:
+            raise ValueError(f"unknown ordering {ordering!r}")
         n = mesh.num_vertices
         nb = len(dofs_master)
 

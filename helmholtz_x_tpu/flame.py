@@ -179,7 +179,8 @@ class PointwiseFlameMatrix(FlameMatrixBase):
 
     def __init__(self, mesh: Mesh, subdomains, x_r, h: DGField, rho_u: float,
                  q_0: float, u_b: float, FTF, degree: int = 1,
-                 bloch_object=None, gamma: float = 1.4, tol: float = 1e-10):
+                 bloch_object=None, gamma: float = 1.4, tol: float = 1e-10,
+                 point_cells=None):
         # `subdomains` kept for reference-API parity; tags live on the mesh
         super().__init__(mesh, FTF, tol)
         self.bloch_object = bloch_object
@@ -188,6 +189,14 @@ class PointwiseFlameMatrix(FlameMatrixBase):
         self._rho_u = rho_u
         self._q0_ub = q_0 / u_b
         self._gamma = gamma
+        # Optional per-flame cell override for the point-gradient evaluation.
+        # When x_r lies exactly on a vertex/facet the P1 gradient is
+        # cell-dependent and the "containing cell" is ambiguous; the reference
+        # inherits dolfinx determine_point_ownership's arbitrary pick
+        # (flame_matrices.py:144-151), so reproducing its committed values can
+        # require forcing that specific cell (see tests/test_micca_bloch.py).
+        self._point_cells = (None if point_cells is None
+                             else [int(c) for c in point_cells])
 
     def _point_cell(self, point: np.ndarray) -> int:
         """Locate the cell containing `point` by barycentric coordinates
@@ -223,7 +232,8 @@ class PointwiseFlameMatrix(FlameMatrixBase):
                                          np.full(n, self._gamma - 1.0),
                                          scale=self._q0_ub, cells=cells)
             L[:, f] = _threshold(left, self.tol)
-            cell = self._point_cell(self.x_r[f])
+            cell = (self._point_cells[f] if self._point_cells is not None
+                    else self._point_cell(self.x_r[f]))
             dofs = mesh.cells[cell]
             R[dofs, f] = grads[cell] @ n_r / self._rho_u
             info(f"- Matrix contribution of flame {f} is computed.")

@@ -105,8 +105,11 @@ def test_bloch_active():
     # stitching 16 rotated copies of this sector (34,080 dofs) with 16
     # explicit pointwise flames and running the full-annulus FPI converges to
     # 3238.692+500.381j — identical to the sector reduction to all printed
-    # digits.  The reference's index-order pairing gives 3235.145+436.055j
-    # (bloch/Results/Active/active.log), ~2% away; we stay within 3% of it.
+    # digits.  The reference's 3235.145+436.055j (~2% away) is FULLY explained
+    # by two of its implementation artifacts — sorted-index master/slave
+    # pairing + an arbitrary containing-cell pick at the vertex-coincident
+    # measurement point — and is reproduced exactly when both are emulated
+    # (test_bloch_pairing.py); we stay within 3% of it.
     exact = 3238.692274 + 500.381371j
     assert abs(omega - exact) / abs(exact) < 1e-6, omega
     ref = 3235.145363 + 436.054594j
