@@ -3,7 +3,7 @@ Robin boundary conditions (quadratic/PEP pencil).
 
 Mirrors the reference script numerical_examples/Longitudinal/PRF/RijkeTube1D/
 active.py on this framework's API.  Expected (reference Results/Active/
-active.log): direct omega = 3.422713-0.002195j, adjoint conjugate.
+active.log): direct omega = 3.422713+0.002195j, adjoint conjugate.
 
 Run:  python examples/prf_rijke_tube/active.py
 """

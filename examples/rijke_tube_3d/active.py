@@ -1,0 +1,62 @@
+"""Rijke tube 3D — active eigensolve with the n-tau flame model on the
+committed tet mesh (8,530 cells); the z-axis is the flame reference
+direction n_r (reference flame_matrices.py:35-40).
+
+Mirrors the reference script numerical_examples/Longitudinal/NetworkCode/
+RijkeTube3D/active.py.  Expected eigenvalue (reference Results/Active/
+active.log): 1247.436923+6.827640j.
+
+Run:  python examples/rijke_tube_3d/active.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
+
+import numpy as np
+import params
+
+from helmholtz_x_tpu.acoustics import AcousticMatrices
+from helmholtz_x_tpu.eigenvectors import normalize_eigenvector
+from helmholtz_x_tpu.fem.fields import (
+    c_step,
+    gaussian_function,
+    rho_step,
+    temperature_step,
+)
+from helmholtz_x_tpu.flame import DistributedFlameMatrix
+from helmholtz_x_tpu.ftf import nTau
+from helmholtz_x_tpu.mesh.xdmf import XDMFReader, write_function_xdmf
+from helmholtz_x_tpu.solvers.fpi import fixed_point_iteration
+from helmholtz_x_tpu.utils.io import dict_writer
+from helmholtz_x_tpu.utils.logging import execution_time, info, start_time
+
+start = start_time()
+
+mesh = XDMFReader(params.MESH).mesh
+boundary_conditions = {t: {"Neumann"} for t in np.unique(mesh.facet_tag_values)}
+
+# the 3D reference script drives the passive matrices with a sound-speed
+# step (RijkeTube3D/active.py:27-30), unlike the T-driven 1D/2D scripts
+c = c_step(mesh, params.x_f, params.c_u, params.c_d)
+matrices = AcousticMatrices(mesh, boundary_conditions, c)
+
+T = temperature_step(mesh, params.x_f, params.T_u, params.T_d)
+FTF = nTau(params.n_ftf, params.tau)
+rho = rho_step(mesh, params.x_f, params.a_f, params.rho_d, params.rho_u)
+w = gaussian_function(mesh, params.x_r, params.a_r)
+h = gaussian_function(mesh, params.x_f, params.a_f)
+D = DistributedFlameMatrix(mesh, w, h, rho, T, params.q_0, params.u_b, FTF)
+D.assemble_submatrices()
+
+E = fixed_point_iteration(matrices, D, params.target, nev=2, i=0)
+omega, p_active = normalize_eigenvector(mesh, E, 0)
+info(f"Eigenvalue-> {omega:.6f} | Eigenfrequency-> {omega / (2 * np.pi):.6f}")
+
+write_function_xdmf(RESULTS + "/p", mesh, p_active.values)
+dict_writer(RESULTS + "/eigenvalues", {"direct": omega})
+execution_time(start)

@@ -1,0 +1,28 @@
+"""Rijke tube 3D parameters (reference numerical_examples/Longitudinal/
+NetworkCode/RijkeTube3D/params.py).  Mesh generation (gmsh cylinder) is
+offline preprocessing; this case consumes the committed XDMF mesh (8,530
+tets) from the reference tree.  The tube axis is z."""
+
+import numpy as np
+
+MESH = ("/root/reference/numerical_examples/Longitudinal/NetworkCode/"
+        "RijkeTube3D/MeshDir/mesh")
+
+r_gas, gamma = 287.0, 1.4
+p_amb = 1e5
+rho_u, rho_d = 1.22, 0.85
+c_u = np.sqrt(gamma * p_amb / rho_u)
+c_d = np.sqrt(gamma * p_amb / rho_d)
+T_u = c_u**2 / (gamma * r_gas)
+T_d = c_d**2 / (gamma * r_gas)
+
+q_0 = -27.008910380099735
+u_b = 0.10066660027273297
+tau = 0.0015
+n_ftf = 0.1  # no cross-section scaling in 3D (true volumetric case)
+
+x_f = np.array([[0.0, 0.0, 0.25]])
+x_r = np.array([[0.0, 0.0, 0.20]])
+a_f = a_r = 0.025
+
+target = 200 * 2 * np.pi

@@ -12,7 +12,12 @@ SCRIPTS=(
   rijke_tube_1d/passive.py
   rijke_tube_1d/active.py
   rijke_tube_1d/active_adj.py
+  rijke_tube_2d/active.py
+  rijke_tube_3d/passive.py
+  rijke_tube_3d/active.py
   prf_rijke_tube/active.py
+  prf_rijke_tube/2d/active.py
+  prf_rijke_tube/3d/active.py
   manufactured_solution/manufactured.py
   flamed_duct/passive.py
   flamed_duct/active.py

@@ -38,8 +38,14 @@ def _read_sections(path: str):
 def read_msh(path: str, dim: int | None = None) -> Mesh:
     sec = _read_sections(path)
     fmt = sec["MeshFormat"][0].split()
-    if not fmt[0].startswith("4"):
-        raise NotImplementedError(f"msh format {fmt[0]} (only 4.x ASCII)")
+    if not fmt[0].startswith("4") or (len(fmt) > 1 and fmt[1] != "0"):
+        # Every committed reference mesh is 4.1 ASCII (file-type 0); binary
+        # .msh is out of scope — convert offline with
+        #   gmsh in.msh -save -format msh41 -o out.msh      (ASCII default)
+        # or meshio: `meshio convert in.msh out.msh --ascii`.
+        raise NotImplementedError(
+            f"msh format {' '.join(fmt[:2])} (only 4.x ASCII; convert binary "
+            "files offline: gmsh <in> -save -format msh41 -o <out>)")
 
     # $Entities: physical tags per (dim, entity tag)
     phys = {}

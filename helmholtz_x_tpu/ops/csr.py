@@ -121,7 +121,7 @@ def csr_from_coo(n: int, rows, cols, vals_re, vals_im) -> CSR:
 
 
 def spmv(A: CSR, x: Z) -> Z:
-    """y = A x (complex CSR SpMV, jittable).
+    """y = A x (complex CSR SpMV/SpMM, jittable; x may be (n,) or (n, k)).
 
     The row ids are sorted by construction, so the row sums are computed as
     prefix-sum differences at the indptr boundaries — XLA's scatter-add (what
@@ -129,23 +129,27 @@ def spmv(A: CSR, x: Z) -> Z:
     """
     xr = x.re[A.indices]
     xi = x.im[A.indices]
-    pr = A.data.re * xr - A.data.im * xi
-    pi = A.data.re * xi + A.data.im * xr
-    zero = jnp.zeros((1,), pr.dtype)
-    csr_ = jnp.concatenate([zero, jnp.cumsum(pr)])
-    csi_ = jnp.concatenate([zero, jnp.cumsum(pi)])
+    d_re = A.data.re if x.re.ndim == 1 else A.data.re[:, None]
+    d_im = A.data.im if x.re.ndim == 1 else A.data.im[:, None]
+    pr = d_re * xr - d_im * xi
+    pi = d_re * xi + d_im * xr
+    zero = jnp.zeros((1,) + pr.shape[1:], pr.dtype)
+    csr_ = jnp.concatenate([zero, jnp.cumsum(pr, axis=0)])
+    csi_ = jnp.concatenate([zero, jnp.cumsum(pi, axis=0)])
     lo = A.indptr[:-1]
     hi = A.indptr[1:]
     return Z(csr_[hi] - csr_[lo], csi_[hi] - csi_[lo])
 
 
 def spmv_H(A: CSR, x: Z) -> Z:
-    """y = A^H x (conjugate-transpose SpMV, scatter form)."""
+    """y = A^H x (conjugate-transpose SpMV/SpMM; x may be (n,) or (n, k))."""
     xr = x.re[A.rows]
     xi = x.im[A.rows]
+    d_re = A.data.re if x.re.ndim == 1 else A.data.re[:, None]
+    d_im = A.data.im if x.re.ndim == 1 else A.data.im[:, None]
     # conj(data) * x scattered to column ids
-    pr = A.data.re * xr + A.data.im * xi
-    pi = A.data.re * xi - A.data.im * xr
+    pr = d_re * xr + d_im * xi
+    pi = d_re * xi - d_im * xr
     return Z(
         jax.ops.segment_sum(pr, A.indices, num_segments=A.n),
         jax.ops.segment_sum(pi, A.indices, num_segments=A.n),

@@ -1,8 +1,8 @@
 """MICCA mode sweep — FPI at several spectral targets on the full annulus
 (reference: fullAnnulus/active_modes.py; Results/Active/Modes/Parallel*.log).
 
-The full six-target sweep is expensive; two representative targets (a
-low-frequency plenum mode and the 720 Hz chamber mode) gate the sweep here.
+All six reference targets (Modes/Parallel{1000,2000,5000,9000,10000,11000}.log)
+are gated at 1e-6 relative.
 """
 
 import numpy as np
