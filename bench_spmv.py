@@ -184,6 +184,48 @@ def _bench_band_variants(A, nnz, iters: int = 100):
         except Exception as e:  # report, keep benching the other variants
             yield (name, None, f"{type(e).__name__}: {e}")
 
+    # Ozaki bf16 bit-slice MXU SpMM (ops/ozaki.py): f64-class accuracy with
+    # the flops on the MXU; nrhs = 1 (matvec) and 16 (the block-Krylov /
+    # refinement shape).  nnz/s counts CSR nnz * nrhs per pass.
+    from helmholtz_x_tpu.ops.ozaki import ozaki_spmm_pallas, pack_ozaki_band
+
+    band = pack_ozaki_band(band_re, band_im, nb)
+    rng2 = np.random.default_rng(3)
+    for nrhs in (1, 8, 16):
+        Xm = rng2.standard_normal((npad, nrhs)) + 1j * rng2.standard_normal((npad, nrhs))
+        Xm[A.n:] = 0.0
+        yref_m = np.zeros((npad, nrhs), complex)
+        yref_m[:A.n] = ap @ Xm[:A.n]
+        xr_m = jnp.asarray(Xm.real)
+        xi_m = jnp.asarray(Xm.imag)
+
+        @jax.jit
+        def chain_m(band, xr, xi):
+            def body(carry, _):
+                yr, yi = ozaki_spmm_pallas(band, carry[0], carry[1], W, nb, nbkp)
+                s = 1.0 / jnp.sqrt(jnp.sum(yr * yr + yi * yi))
+                return (yr * s, yi * s), None
+
+            out, _ = jax.lax.scan(body, (xr, xi), None, length=iters)
+            return out
+
+        name = f"ozaki_spmm_rhs{nrhs}"
+        try:
+            out = chain_m(band, xr_m, xi_m)
+            np.asarray(out[0])
+            t0 = time.perf_counter()
+            out = chain_m(band, xr_m, xi_m)
+            np.asarray(out[0])
+            dt = (time.perf_counter() - t0) / iters
+            yr, yi = jax.jit(lambda b, xr, xi: ozaki_spmm_pallas(
+                b, xr, xi, W, nb, nbkp))(band, xr_m, xi_m)
+            y = np.asarray(yr, np.float64) + 1j * np.asarray(yi, np.float64)
+            acc = np.linalg.norm(y - yref_m) / np.linalg.norm(yref_m)
+            # dt covers nrhs simultaneous matvecs
+            yield (name, dt / nrhs, acc)
+        except Exception as e:
+            yield (name, None, f"{type(e).__name__}: {e}")
+
 
 if __name__ == "__main__":
     main()

@@ -100,21 +100,36 @@ def build_band(sp_mat, perm: np.ndarray, nb: int = 256, W: int | None = None):
     return band_re, band_im, W, nbk, nbkp, npad
 
 
-@partial(jax.jit, static_argnames=("W", "nbk"))
-def _factor_band(band_re, band_im, W: int, nbk: int):
+@partial(jax.jit, static_argnames=("W", "nbk", "fast_inv"))
+def _factor_band(band_re, band_im, W: int, nbk: int, fast_inv: bool = False):
     """Right-looking block LU in the dtype of `band_re` — f64 for the exact
     tier, f32 for the mixed-precision tier (MXU-speed factorization, f64
     accuracy recovered by iterative refinement against the exact CSR
-    operator, mirroring the dense tier's f32 QR + refinement)."""
+    operator, mirroring the dense tier's f32 QR + refinement).
+
+    fast_inv=True computes the diagonal-block inverses via f32 QR + two
+    Newton iterations X <- X(2I - EX) in the working dtype (pure matmuls,
+    error squared per step: 1e-6 -> 1e-12 -> machine).  On TPU this avoids
+    the software-emulated f64 QR, keeping the factorization MXU-bound; on
+    the CPU test backend LAPACK f64 QR is exact and fast, so default off."""
     nb = band_re.shape[2]
 
     def inv_block(dr, di):
         e = jnp.concatenate(
             [jnp.concatenate([dr, -di], axis=1), jnp.concatenate([di, dr], axis=1)],
             axis=0)
-        q, r = jnp.linalg.qr(e)
-        m = jax.scipy.linalg.solve_triangular(r, q.T, lower=False)
-        return m[:nb, :nb], m[nb:, :nb]  # (re, im) of the complex inverse
+        if fast_inv and e.dtype == jnp.float64:
+            e32 = e.astype(jnp.float32)
+            q, r = jnp.linalg.qr(e32)
+            m = jax.scipy.linalg.solve_triangular(r, q.T, lower=False)
+            x = m.astype(jnp.float64)
+            eye2 = 2.0 * jnp.eye(2 * nb, dtype=jnp.float64)
+            for _ in range(2):
+                x = x @ (eye2 - e @ x)
+        else:
+            q, r = jnp.linalg.qr(e)
+            x = jax.scipy.linalg.solve_triangular(r, q.T, lower=False)
+        return x[:nb, :nb], x[nb:, :nb]  # (re, im) of the complex inverse
 
     def body(k, carry):
         bre, bim, idr, idi = carry
@@ -147,6 +162,51 @@ def _factor_band(band_re, band_im, W: int, nbk: int):
     return bre, bim, idr, idi
 
 
+def build_band_device(sp_mat, perm: np.ndarray, nb: int, dtype,
+                      W: int | None = None):
+    """Pack the block-band arrays ON DEVICE by scatter-add of the COO
+    triplets.  Only the nnz-sized index/value arrays cross the host->device
+    link (~16 bytes/nnz) instead of the fully materialized band (~170x the
+    nnz for wide-band 3D operators) — essential when the accelerator sits
+    behind a network tunnel."""
+    import scipy.sparse as sp
+
+    n = sp_mat.shape[0]
+    a = sp.coo_matrix(sp_mat)
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+    r = inv[a.row]
+    c = inv[a.col]
+    bw = int(np.abs(r - c).max()) if a.nnz else 0
+    W_needed = max(1, -(-bw // nb))
+    if W is None:
+        W = W_needed
+    elif W < W_needed:
+        raise ValueError(f"forced W={W} < needed {W_needed}")
+    nbk = -(-n // nb)
+    nbkp = nbk + W
+    npad = nbkp * nb
+    pad = np.arange(n, npad)
+    br = np.concatenate([r // nb, pad // nb]).astype(np.int32)
+    slot = np.concatenate([(c // nb) - (r // nb) + W,
+                           np.full(len(pad), W)]).astype(np.int32)
+    lr = np.concatenate([r % nb, pad % nb]).astype(np.int32)
+    lc = np.concatenate([c % nb, pad % nb]).astype(np.int32)
+    vre = np.concatenate([a.data.real, np.ones(len(pad))])
+    vim = np.concatenate([a.data.imag, np.zeros(len(pad))])
+
+    @partial(jax.jit, static_argnames=("shape",))
+    def scatter(br, slot, lr, lc, vre, vim, shape):
+        z = jnp.zeros(shape, dtype=dtype)
+        return (z.at[br, slot, lr, lc].add(vre.astype(dtype)),
+                z.at[br, slot, lr, lc].add(vim.astype(dtype)))
+
+    bre, bim = scatter(jnp.asarray(br), jnp.asarray(slot), jnp.asarray(lr),
+                       jnp.asarray(lc), jnp.asarray(vre), jnp.asarray(vim),
+                       (nbkp, 2 * W + 1, nb, nb))
+    return bre, bim, W, nbk, nbkp, npad
+
+
 def factor_banded(sp_mat, perm: np.ndarray, nb: int = 256,
                   dtype=np.float64, equilibrate: bool | None = None) -> BandedFactor:
     """Factor P (scipy sparse, complex).  For the f32 mixed-precision tier the
@@ -166,10 +226,16 @@ def factor_banded(sp_mat, perm: np.ndarray, nb: int = 256,
         sp_mat = (dmat @ sp_mat @ dmat).tocsr()
     else:
         d = np.ones(n)
-    band_re, band_im, W, nbk, nbkp, npad = build_band(sp_mat, perm, nb)
-    bre, bim, idr, idi = _factor_band(jnp.asarray(band_re, dtype=dtype),
-                                      jnp.asarray(band_im, dtype=dtype),
-                                      W, nbk)
+    on_accel = jax.default_backend() != "cpu"
+    if on_accel:
+        bre_j, bim_j, W, nbk, nbkp, npad = build_band_device(
+            sp_mat, perm, nb, dtype)
+    else:
+        band_re, band_im, W, nbk, nbkp, npad = build_band(sp_mat, perm, nb)
+        bre_j = jnp.asarray(band_re, dtype=dtype)
+        bim_j = jnp.asarray(band_im, dtype=dtype)
+    bre, bim, idr, idi = _factor_band(bre_j, bim_j, W, nbk,
+                                      fast_inv=on_accel)
     perm_pad = np.concatenate([perm, np.arange(n, npad)])
     iperm = np.empty(npad, dtype=np.int64)
     iperm[perm_pad] = np.arange(npad)
@@ -247,12 +313,15 @@ def _zmv(ar, ai, xr, xi):
 
 
 def banded_solve(f: BandedFactor, b: Z, n: int) -> Z:
-    """x = P^{-1} b (block forward/back substitution, jitted)."""
+    """x = P^{-1} b (block forward/back substitution, jitted).  b may be a
+    vector (n,) or a multi-RHS block (n, k) — the substitution's per-block
+    matvecs become (nb, nb) x (nb, k) matmuls, amortizing the sequential
+    band traversal over all columns (the block-Krylov hot path)."""
     return _banded_solve_impl(f, b.re, b.im, False, n)
 
 
 def banded_solve_H(f: BandedFactor, b: Z, n: int) -> Z:
-    """x = P^{-H} b."""
+    """x = P^{-H} b (vector or multi-RHS block)."""
     return _banded_solve_impl(f, b.re, b.im, True, n)
 
 
@@ -272,13 +341,18 @@ def banded_substitute(f: BandedFactor, bre, bim, hermitian: bool, n: int):
     # tier); callers recover f64 accuracy by refinement against the exact
     # CSR operator.  Output is cast back to f64 pairs.
     d = f.band_re.dtype
+    # vector and multi-RHS block inputs share one (npad, k) code path
+    squeeze = bre.ndim == 1
+    b2r = bre[:, None] if squeeze else bre
+    b2i = bim[:, None] if squeeze else bim
+    k = b2r.shape[1]
     # equilibration pre-scale (f64, original order), then pad + permute into
     # banded order; the factored matrix is diag(d) P diag(d) so both the
     # forward and Hermitian solves scale input AND output by dscale
-    br_s = (jnp.zeros(npad).at[: bre.shape[0]].set(bre) * f.dscale)
-    bi_s = (jnp.zeros(npad).at[: bim.shape[0]].set(bim) * f.dscale)
-    xr = br_s[f.perm].astype(d).reshape(nbkp, nb)
-    xi = bi_s[f.perm].astype(d).reshape(nbkp, nb)
+    br_s = (jnp.zeros((npad, k)).at[: b2r.shape[0]].set(b2r) * f.dscale[:, None])
+    bi_s = (jnp.zeros((npad, k)).at[: b2i.shape[0]].set(b2i) * f.dscale[:, None])
+    xr = br_s[f.perm].astype(d).reshape(nbkp, nb, k)
+    xi = bi_s[f.perm].astype(d).reshape(nbkp, nb, k)
 
     if not hermitian:
         # L y = b (unit diagonal): y_r = b_r - sum_i L_{r,r-i} y_{r-i}
@@ -382,6 +456,10 @@ def banded_substitute(f: BandedFactor, bre, bim, hermitian: bool, n: int):
 
         sr, si = jax.lax.fori_loop(0, nbkp, bwd, (jnp.zeros_like(xr), jnp.zeros_like(xi)))
 
-    out_r = (sr.reshape(-1).astype(jnp.float64)[f.iperm] * f.dscale)[:n]
-    out_i = (si.reshape(-1).astype(jnp.float64)[f.iperm] * f.dscale)[:n]
+    out_r = (sr.reshape(npad, k).astype(jnp.float64)[f.iperm]
+             * f.dscale[:, None])[:n]
+    out_i = (si.reshape(npad, k).astype(jnp.float64)[f.iperm]
+             * f.dscale[:, None])[:n]
+    if squeeze:
+        return Z(out_r[:, 0], out_i[:, 0])
     return Z(out_r, out_i)

@@ -283,6 +283,55 @@ def _arnoldi_expand(op, V: Z, H: Z, j0, j1, mode: str, nrefine: int = 0):
 _arnoldi_chunk = partial(jax.jit, static_argnames=("mode", "nrefine"))(_arnoldi_expand)
 
 
+def _block_orth(V: Z, Wr, Wi, k: int):
+    """Orthonormalize the k candidate rows (Wr, Wi) against every row of V
+    (CGS2 — MXU matmuls) and then against each other (MGS2, unrolled over the
+    small static k).  Rows that vanish are zeroed (they contribute nothing to
+    later Gram-Schmidt passes, matching the zero-row convention of
+    `_arnoldi_expand`)."""
+    for _ in range(2):
+        hre = V.re @ Wr.T + V.im @ Wi.T  # (rows, k): conj(V) . w_j
+        him = V.re @ Wi.T - V.im @ Wr.T
+        Wr = Wr - (hre.T @ V.re - him.T @ V.im)
+        Wi = Wi - (hre.T @ V.im + him.T @ V.re)
+    rows_r = [Wr[j] for j in range(k)]
+    rows_i = [Wi[j] for j in range(k)]
+    for _ in range(2):
+        for j in range(k):
+            wr, wi = rows_r[j], rows_i[j]
+            for l in range(j):
+                hr = jnp.sum(rows_r[l] * wr + rows_i[l] * wi)
+                hi = jnp.sum(rows_r[l] * wi - rows_i[l] * wr)
+                wr = wr - (hr * rows_r[l] - hi * rows_i[l])
+                wi = wi - (hr * rows_i[l] + hi * rows_r[l])
+            beta = jnp.sqrt(jnp.sum(wr**2 + wi**2))
+            inv = jnp.where(beta > _BREAKDOWN, 1.0 / jnp.maximum(beta, _BREAKDOWN), 0.0)
+            rows_r[j] = wr * inv
+            rows_i[j] = wi * inv
+    return jnp.stack(rows_r), jnp.stack(rows_i)
+
+
+def _block_arnoldi_expand(op, V: Z, b0: int, b1: int, k: int, mode: str,
+                          nrefine: int = 0):
+    """Block-Krylov expansion: block b (rows [b*k, (b+1)*k)) is applied
+    through the shift-inverted operator as ONE multi-RHS solve, then
+    orthonormalized into block b+1.  No Hessenberg is kept — this feeds the
+    resolvent-projection path (projection.py), which Galerkin-projects the
+    exact operators onto the basis.  Replaces the host-driven
+    `_host_block_arnoldi` (one device dispatch per COLUMN per step) with a
+    single dispatch for the whole expansion."""
+
+    def body(b, V):
+        cur = Z(jax.lax.dynamic_slice_in_dim(V.re, b * k, k, 0),
+                jax.lax.dynamic_slice_in_dim(V.im, b * k, k, 0))
+        w = _apply(op, Z(cur.re.T, cur.im.T), mode, nrefine)  # (n_op, k)
+        Wr, Wi = _block_orth(V, w.re.T, w.im.T, k)
+        return Z(jax.lax.dynamic_update_slice_in_dim(V.re, Wr, (b + 1) * k, 0),
+                 jax.lax.dynamic_update_slice_in_dim(V.im, Wi, (b + 1) * k, 0))
+
+    return jax.lax.fori_loop(b0, b1, body, V)
+
+
 @dataclass
 class EigenResult:
     """Converged eigenpairs, sorted ascending |lambda - sigma| (the SLEPc

@@ -49,7 +49,8 @@ from functools import partial
 from ..ops.cplx import Z
 from ..utils.logging import info
 from .arnoldi import (EigenResult, EpsOp, PepOp, _arnoldi_chunk,
-                      _arnoldi_expand, _solve_wb, _solve_wbb)
+                      _arnoldi_expand, _block_arnoldi_expand, _block_orth,
+                      _solve_wb, _solve_wbb)
 
 
 def _enabled() -> bool:
@@ -140,6 +141,59 @@ def _basis_impl(op, Lz: Z, sig: Z, mode: str, nrefine: int, m: int,
     return V, W
 
 
+@partial(__import__("jax").jit,
+         static_argnames=("mode", "nrefine", "depth", "n_op", "k"))
+def _block_basis_impl(op, Lz: Z, sig: Z, mode: str, nrefine: int, depth: int,
+                      n_op: int, k: int):
+    """W = P^{-1} L (one multi-RHS solve for all k flame columns) and a
+    `depth`-step block-Krylov expansion started from W (or [W; sigma W] for
+    the companion pencil) — the whole basis in ONE dispatch.  Replaces the
+    host-driven per-column loop for rank-k flames (k = #burners, e.g. 16 on
+    the MICCA annulus; reference runs a full SLEPc solve per outer FPI
+    iteration instead, eigensolvers.py:158-178)."""
+    import jax.numpy as jnp
+
+    solve = _solve_wbb if mode.endswith("b") else _solve_wb
+    W = solve(op.sv, Lz, nrefine)  # (n, k)
+    if mode.startswith("eps"):
+        v0r, v0i = W.re, W.im
+    else:
+        v0r = jnp.concatenate([W.re, sig.re * W.re - sig.im * W.im])
+        v0i = jnp.concatenate([W.im, sig.re * W.im + sig.im * W.re])
+    nrows = (depth + 1) * k
+    V = Z(jnp.zeros((nrows, n_op)), jnp.zeros((nrows, n_op)))
+    Wr0, Wi0 = _block_orth(V, v0r.T, v0i.T, k)
+    V = Z(V.re.at[:k].set(Wr0), V.im.at[:k].set(Wi0))
+    V = _block_arnoldi_expand(op, V, 0, depth, k, mode, nrefine)
+    return V, W
+
+
+def _device_block_basis(factor, pencil, sigma: complex, mode: str,
+                        L: np.ndarray, m: int, nrefine: int):
+    """Single-dispatch rank-k basis build on the dense/banded tiers.
+    Returns (orthonormal rows (m', n_op), W (n, k) numpy)."""
+    import jax.numpy as jnp
+
+    sv = factor.solve_op()
+    sig = Z(jnp.asarray(complex(sigma).real), jnp.asarray(complex(sigma).imag))
+    if mode in ("eps", "epsb"):
+        op = EpsOp(sv=sv, C=pencil[0])
+        n_op = pencil[0].n
+    else:
+        B, C = pencil
+        op = PepOp(sv=sv, B=B, C=C, sig=sig)
+        n_op = 2 * C.n
+    k = L.shape[1]
+    depth = max(2, -(-m // k))
+    Lz = Z(jnp.asarray(np.ascontiguousarray(L.real)),
+           jnp.asarray(np.ascontiguousarray(L.imag)))
+    V, W = _block_basis_impl(op, Lz, sig, mode, nrefine, depth, n_op, k)
+    Vnp = np.asarray(V.re) + 1j * np.asarray(V.im)
+    Wnp = np.asarray(W.re) + 1j * np.asarray(W.im)
+    keep = np.linalg.norm(Vnp, axis=1) > 1e-14
+    return Vnp[keep], Wnp
+
+
 def _device_basis(factor, pencil, sigma: complex, mode: str, L0: np.ndarray,
                   m: int, nrefine: int):
     """Single-dispatch basis build on the dense/banded tiers.  Returns
@@ -173,6 +227,15 @@ def _apply_P_host(factor, x: np.ndarray) -> np.ndarray:
     if isinstance(factor, ShiftedFactor):
         return factor._apply_P_np(x)
     return factor._P @ x if hasattr(factor, "_P") else factor.lu.solve(x)
+
+
+def _apply_P_host_block(factor, X: np.ndarray) -> np.ndarray:
+    from .linsolve import ShiftedFactor
+
+    if isinstance(factor, ShiftedFactor):
+        return np.stack([factor._apply_P_np(X[:, j])
+                         for j in range(X.shape[1])], axis=1)
+    return factor._P @ X
 
 
 def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
@@ -215,9 +278,28 @@ def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
         halves = np.concatenate([rows[:, :n], rows[:, n:]], axis=0)
         return _orth_rows(halves)
 
+    if backend in ("dense", "banded"):
+        # rank k > 1 on a device tier: single-dispatch block-Krylov basis
+        mode = ("eps" if backend == "dense" else "epsb") if eps_kind else (
+            "pep" if backend == "dense" else "pepb")
+        pencil = (C,) if eps_kind else (B, C)
+        rows, W = _device_block_basis(factor, pencil, sigma, mode, L, m,
+                                      nrefine)
+        relW = float(np.linalg.norm(_apply_P_host_block(factor, W) - L)
+                     / max(np.linalg.norm(L), 1e-300))
+        if not np.isfinite(relW) or relW > 1e-3:
+            info(f"! factor health check failed (W residual {relW:.1e}).")
+            return None
+        if eps_kind:
+            return rows
+        n = C.n
+        halves = np.concatenate([rows[:, :n], rows[:, n:]], axis=0)
+        halves = np.concatenate([halves, W.T], axis=0)
+        return _orth_rows(halves)
+
     W = np.stack([_solve_np(factor, L[:, j]) for j in range(k)], axis=1)
 
-    # rank k > 1 (or host tier): host-driven block Arnoldi
+    # host tier: host-driven block Arnoldi
     depth = max(2, -(-m // max(k, 1)))
     if eps_kind:
         Csp = C.to_scipy()
@@ -415,15 +497,21 @@ def projected_fpi(factor, operators, D, target: complex, nev: int, i: int,
         m = default_m(k, nev)
     m = min(m, A.n)
 
+    from ..utils.metrics import timed
+
     info("--> Fixed point iteration started (resolvent-projection).\n")
-    V = build_basis(factor, A, B, C, L, R, sigma, eps_kind, m)
+    with timed("proj_basis", n=A.n, m=m, rank=k):
+        V = build_basis(factor, A, B, C, L, R, sigma, eps_kind, m)
     if V is None:
         return None
-    proj = project(V, A, B, C, L, R)
-    lam, Y, iters, sc = fpi_on_projection(proj, D, target, nev, i, tol,
-                                          maxiter, problem_type, eps_kind)
-    res = finalize_projected(proj, A, B, C, L, R, lam, Y, iters, sc, sigma,
-                             nev, i, eps_kind, print_results)
+    with timed("proj_project", m=V.shape[0]):
+        proj = project(V, A, B, C, L, R)
+    with timed("proj_fpi"):
+        lam, Y, iters, sc = fpi_on_projection(proj, D, target, nev, i, tol,
+                                              maxiter, problem_type, eps_kind)
+    with timed("proj_finalize"):
+        res = finalize_projected(proj, A, B, C, L, R, lam, Y, iters, sc, sigma,
+                                 nev, i, eps_kind, print_results)
     if res is not None:
         from ..utils.metrics import record
 

@@ -129,12 +129,63 @@ def test_ffd_derivative_vs_finite_difference_deg2():
     k_z, j_phi = 4, 1
     d_adj = derivs[k_z][j_phi]
 
+    # central difference: O(eps^2) truncation -> 2% gate (was 15% one-sided)
     eps = 2e-4
     lattice.Pr[lattice.l - 1, j_phi, k_z] += eps
-    mesh2 = deform_mesh(mesh, lattice)
-    omega1, _, _, _ = _solve_deg2(mesh2, "direct")
-    d_fd = (omega1 - omega0) / eps
+    mesh_p = deform_mesh(mesh, lattice)
+    omega_p, _, _, _ = _solve_deg2(mesh_p, "direct")
+    lattice.Pr[lattice.l - 1, j_phi, k_z] -= 2 * eps
+    mesh_m = deform_mesh(mesh, lattice)
+    omega_m, _, _, _ = _solve_deg2(mesh_m, "direct")
+    lattice.Pr[lattice.l - 1, j_phi, k_z] += eps
+    d_fd = (omega_p - omega_m) / (2 * eps)
 
     assert abs(d_fd) > 0, "degenerate test: zero sensitivity"
     rel = abs(d_adj - d_fd) / abs(d_fd)
-    assert rel < 0.15, (d_adj, d_fd, rel)
+    assert rel < 0.02, (d_adj, d_fd, rel)
+
+
+@pytest.mark.slow
+def test_shape_derivative_dict_vs_reference():
+    """The full 9x4 normalized derivative table vs the reference's COMMITTED
+    dict (ShapeDerivatives/normalized.txt, written by main_shape.py:108-109
+    via nonaxisymmetric_derivatives_normalize: Re and Im each scaled by
+    their global max).
+
+    Measured agreement: every one of the 36 (Re, Im) sign pairs matches; the
+    interior-phi columns (1, 2) agree to <= 6e-2 per point; the seam columns
+    (0, 3) to <= 0.12.  The looser seam tolerance is the REFERENCE's
+    artifact: the geometry is axisymmetric, so the true derivative is
+    phi-independent — our table is phi-symmetric to <= 3e-2 in normalized units
+    (asserted below at 5e-2), while the reference's own phi spread reaches ~8-10%
+    (gmsh includeBoundary seam-point handling,
+    shape_derivatives_utils.py:93-187)."""
+    import ast
+
+    mesh = XDMFReader(CASE + "/MeshDir/ShapeDerivatives/mesh").mesh
+    omega0, p_dir, matrices, D = _solve_deg2(mesh, "direct")
+    _, p_adj, _, _ = _solve_deg2(mesh, "adjoint")
+    lattice = FFDCylindrical.from_mesh(mesh, 2, 4, 9)
+    derivs = shape_derivatives_ffd(mesh, lattice, 1, omega0, p_dir, p_adj,
+                                   matrices.c, matrices, D, degree=2)
+
+    mr = max(abs(np.real(v)) for d in derivs.values() for v in d.values())
+    mi = max(abs(np.imag(v)) for d in derivs.values() for v in d.values())
+    norm = {z: {p: np.real(v) / mr + 1j * np.imag(v) / mi
+                for p, v in d.items()} for z, d in derivs.items()}
+
+    ref = ast.literal_eval(ast.literal_eval(open(
+        CASE + "/ShapeDerivatives/normalized.txt").read()))
+    for z in ref:
+        for p in ref[z]:
+            o, r = norm[z][p], ref[z][p]
+            assert np.sign(o.real) == np.sign(r.real), (z, p, o, r)
+            assert np.sign(o.imag) == np.sign(r.imag), (z, p, o, r)
+            tol = 0.06 if p in (1, 2) else 0.12
+            assert abs(o - r) <= tol * max(abs(r), 1e-12), (z, p, o, r)
+    # physical consistency our side: phi-symmetry of the axisymmetric case
+    # (absolute spread in normalized units; measured worst row: 0.030)
+    for z in norm:
+        vals = list(norm[z].values())
+        spread = max(abs(v - vals[0]) for v in vals)
+        assert spread <= 0.05, (z, vals)
