@@ -93,6 +93,18 @@ def shard_vector(x: np.ndarray, n_pad: int, n_devices: int, mesh: Mesh) -> Z:
              jax.device_put(jnp.asarray(xp.imag), sh))
 
 
+def shard_block(X: np.ndarray, n_pad: int, n_devices: int, mesh: Mesh) -> Z:
+    """Pad and shard a (n, k) block of RHS columns to (nd, k, n_local)."""
+    n, k = X.shape
+    Xp = np.zeros((n_pad, k), dtype=np.complex128)
+    Xp[:n] = X
+    Xb = np.ascontiguousarray(
+        Xp.T.reshape(k, n_devices, -1).transpose(1, 0, 2))
+    sh = NamedSharding(mesh, P(AXIS, None, None))
+    return Z(jax.device_put(jnp.asarray(Xb.real), sh),
+             jax.device_put(jnp.asarray(Xb.imag), sh))
+
+
 # ---- shard_map-local kernels (operate on ONE shard's block, with psum) ----
 
 def _local_spmv(A_blk, xg_re, xg_im, n_local):

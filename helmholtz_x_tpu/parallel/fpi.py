@@ -36,8 +36,8 @@ from ..solvers.projection import (ProjectedPencil, _host_block_arnoldi,
                                   fpi_on_projection, project)
 from ..utils.logging import info
 from .dist import AXIS, build_block_jacobi, make_dist_gmres_solve, \
-    partition_csr, shard_vector
-from .halo import make_halo_gmres_solve, partition_halo_csr
+    partition_csr, shard_block, shard_vector
+from .halo import build_ras, make_halo_gmres_solve, partition_halo_csr
 
 
 class DistShiftedSolver:
@@ -49,7 +49,7 @@ class DistShiftedSolver:
 
     def __init__(self, P_scipy, mesh: Mesh, n_devices: int,
                  m_krylov: int = 40, inner_tol: float = 1e-10,
-                 max_restarts: int = 100, precond: str | None = "bjacobi"):
+                 max_restarts: int = 100, precond: str | None = "ras"):
         import scipy.sparse as sp
 
         from ..native import rcm
@@ -82,39 +82,75 @@ class DistShiftedSolver:
         self._P_perm = ap
 
         with mesh:
-            pc = (build_block_jacobi(pad, n_devices, n_local, mesh)
-                  if precond == "bjacobi" else None)
             try:
                 self.H_sh, _, self.n_local, self.hw = partition_halo_csr(
                     pad, n_devices, mesh)
+                if precond == "ras" and self.hw > 0:
+                    pc = build_ras(pad, n_devices, n_local, self.hw, mesh)
+                    pc_kind = "ras"
+                elif precond in ("ras", "bjacobi"):
+                    pc = build_block_jacobi(pad, n_devices, n_local, mesh)
+                    pc_kind = "bjacobi"
+                else:
+                    pc, pc_kind = None, "none"
                 self._solve_fn = make_halo_gmres_solve(
                     mesh, self.H_sh, self.hw, self.n_local, n_devices,
-                    m_krylov=m_krylov, pc=pc)
+                    m_krylov=m_krylov, pc=pc, pc_kind=pc_kind)
                 self.layout = "halo"
+                self.pc_kind = pc_kind
             except ValueError:
+                pc = (build_block_jacobi(pad, n_devices, n_local, mesh)
+                      if precond in ("ras", "bjacobi") else None)
                 self.H_sh, _, self.n_local = partition_csr(pad, n_devices, mesh)
                 self.hw = -1
                 self._solve_fn = make_dist_gmres_solve(
                     mesh, self.H_sh, self.n_local, n_devices,
                     m_krylov=m_krylov, pc=pc)
                 self.layout = "all_gather"
+                self.pc_kind = "bjacobi" if pc is not None else "none"
 
     def solve(self, b: np.ndarray) -> np.ndarray:
         """Restarted GMRES to inner_tol on the TRUE residual (host check)."""
-        bp = np.asarray(b, dtype=np.complex128)[self.perm]
-        x = np.zeros(self.n, dtype=np.complex128)
-        r = bp.copy()
-        b_norm = np.linalg.norm(bp)
-        for _ in range(self.max_restarts):
+        return self.solve_block(np.asarray(b)[:, None])[:, 0]
+
+    def solve_block(self, B: np.ndarray) -> np.ndarray:
+        """Solve P X = B for a (n, k) block of RHS.  On the halo layout all
+        k columns advance one restart per DISPATCH (vmapped GMRES inside
+        shard_map); restart checks are on the TRUE residual per column."""
+        from ..utils.metrics import record
+
+        B = np.asarray(B, dtype=np.complex128).reshape(self.n, -1)
+        k = B.shape[1]
+        Bp = B[self.perm]
+        b_norms = np.maximum(np.linalg.norm(Bp, axis=0), 1e-300)
+        X = np.zeros((self.n, k), dtype=np.complex128)
+        R = Bp.copy()
+        restarts = self.max_restarts
+        for it in range(self.max_restarts):
             with self.mesh:
-                rz = shard_vector(r, self.n_pad, self.n_devices, self.mesh)
-                dre, dim_ = self._solve_fn(self.H_sh, rz.re, rz.im)
-            dx = (np.asarray(dre) + 1j * np.asarray(dim_)).ravel()[: self.n]
-            x = x + dx
-            r = bp - self._P_perm @ x
-            if np.linalg.norm(r) <= self.inner_tol * b_norm:
+                if self.layout == "halo":
+                    rz = shard_block(R, self.n_pad, self.n_devices, self.mesh)
+                    dre, dim_ = self._solve_fn(self.H_sh, rz.re, rz.im)
+                    dX = (np.asarray(dre) + 1j * np.asarray(dim_))
+                    dX = dX.transpose(1, 0, 2).reshape(k, self.n_pad).T[: self.n]
+                else:
+                    cols = []
+                    for j in range(k):
+                        rz = shard_vector(R[:, j], self.n_pad,
+                                          self.n_devices, self.mesh)
+                        dre, dim_ = self._solve_fn(self.H_sh, rz.re, rz.im)
+                        cols.append((np.asarray(dre)
+                                     + 1j * np.asarray(dim_)).ravel()[: self.n])
+                    dX = np.stack(cols, axis=1)
+            X = X + dX
+            R = Bp - self._P_perm @ X
+            if (np.linalg.norm(R, axis=0) <= self.inner_tol * b_norms).all():
+                restarts = it + 1
                 break
-        return x[self.iperm]
+        rels = np.linalg.norm(R, axis=0) / b_norms
+        record("dist_solve", restarts=restarts, k=k,
+               rel=float(rels.max()))
+        return X[self.iperm]
 
 
 def dist_projected_fpi(operators, D, target: complex, mesh: Mesh,
@@ -154,7 +190,7 @@ def dist_projected_fpi(operators, D, target: complex, mesh: Mesh,
     info(f"- Distributed shifted solver ready ({solver.layout} SpMV layout, "
          f"halo width {solver.hw}).")
 
-    W = np.stack([solver.solve(L[:, j]) for j in range(k)], axis=1)
+    W = solver.solve_block(L)
     relW = float(np.linalg.norm(P_scipy @ W - L)
                  / max(np.linalg.norm(L), 1e-300))
     if not np.isfinite(relW) or relW > 1e-6:
@@ -164,19 +200,21 @@ def dist_projected_fpi(operators, D, target: complex, mesh: Mesh,
     depth = max(2, -(-m // k))
     n = A.n
     if eps_kind:
-        def apply_fn(v):
-            return solver.solve(Csp @ v)
+        def block_apply(rows):
+            return solver.solve_block(Csp @ rows.T).T
 
-        V = _host_block_arnoldi(apply_fn, W, depth)
+        V = _host_block_arnoldi(None, W, depth, block_apply=block_apply)
     else:
-        def apply2n(z):
-            v1, v2 = z[:n], z[n:]
-            rhs = Bsp @ v1 + Csp @ (v2 + sigma * v1)
-            z1 = -solver.solve(rhs)
-            return np.concatenate([z1, v1 + sigma * z1])
+        def block_apply2n(rows):
+            V1 = rows[:, :n].T
+            V2 = rows[:, n:].T
+            rhs = Bsp @ V1 + Csp @ (V2 + sigma * V1)
+            Z1 = -solver.solve_block(rhs)
+            return np.concatenate([Z1, V1 + sigma * Z1], axis=0).T
 
         start2n = np.concatenate([W, sigma * W], axis=0)
-        rows2n = _host_block_arnoldi(apply2n, start2n, depth)
+        rows2n = _host_block_arnoldi(None, start2n, depth,
+                                     block_apply=block_apply2n)
         halves = np.concatenate([rows2n[:, :n], rows2n[:, n:]], axis=0)
         V = _orth_rows(np.concatenate([halves, W.T], axis=0))
 
@@ -184,4 +222,5 @@ def dist_projected_fpi(operators, D, target: complex, mesh: Mesh,
     lam, Y, iters, sc = fpi_on_projection(proj, D, target, nev, i, tol,
                                           maxiter, problem_type, eps_kind)
     return finalize_projected(proj, A, B, C, L, R, lam, Y, iters, sc, sigma,
-                              nev, i, eps_kind, print_results)
+                              nev, i, eps_kind, print_results,
+                              solve_block=solver.solve_block)

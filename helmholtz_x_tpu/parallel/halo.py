@@ -158,78 +158,138 @@ def _lstsq_hessenberg(Hr, Hi, beta, m: int):
     return y[:m], y[m:]
 
 
+def build_ras(shifted_pad, n_devices: int, n_local: int, hw: int, mesh: Mesh,
+              nb: int = 128, dtype=np.float64):
+    """Restricted additive Schwarz preconditioner with overlap = the halo
+    width: factor each shard's OVERLAPPED diagonal block (rows/cols
+    [s n_local - hw, (s+1) n_local + hw), identity-padded at the edges) with
+    the uniform-geometry block-banded LU so the factors stack over the mesh.
+    Application reuses the halo exchange the SpMV already does (the window
+    IS the overlapped subdomain) and injects only the owned rows — classic
+    RAS, which for the complex-shifted Helmholtz operator converges in far
+    fewer GMRES iterations than zero-overlap block-Jacobi."""
+    import scipy.sparse as sp
+
+    from ..ops.banded import factor_banded_blocks
+
+    a = sp.csr_matrix(shifted_pad)
+    n_pad = n_devices * n_local
+    n_win = n_local + 2 * hw
+    blocks = []
+    for s in range(n_devices):
+        lo = s * n_local - hw
+        blk = sp.lil_matrix((n_win, n_win), dtype=np.complex128)
+        i0 = max(0, -lo)
+        g0 = lo + i0
+        g1 = min(n_pad, lo + n_win)
+        i1 = i0 + (g1 - g0)
+        blk[i0:i1, i0:i1] = a[g0:g1, g0:g1]
+        for j in list(range(i0)) + list(range(i1, n_win)):
+            blk[j, j] = 1.0
+        blocks.append(blk.tocsr())
+    fac, _ = factor_banded_blocks(blocks, nb=min(nb, max(32, n_win)),
+                                  dtype=dtype)
+    from jax.sharding import NamedSharding
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(AXIS))), fac)
+
+
 def make_halo_gmres_solve(mesh: Mesh, H_sh: HaloCSR, hw: int, n_local: int,
-                          n_devices: int, m_krylov: int = 40, pc=None):
-    """Jitted distributed GMRES(m) on the halo layout: SpMV = two ppermute
-    slabs + local segment-sum; dots = psum.  With `pc` (stacked BandedFactor
-    from dist.build_block_jacobi) the iteration is left-preconditioned; the
-    host restart loop checks the TRUE residual so the answer is unchanged."""
+                          n_devices: int, m_krylov: int = 40, pc=None,
+                          pc_kind: str = "bjacobi"):
+    """Jitted distributed GMRES(m) on the halo layout for a BLOCK of k RHS:
+    SpMV = two ppermute slabs + local segment-sum; dots = psum; the k
+    independent GMRES iterations are vmapped (collectives batch cleanly), so
+    one dispatch advances every RHS by one restart.  With `pc` the iteration
+    is left-preconditioned — `pc_kind` 'bjacobi' (stacked BandedFactor over
+    the local diagonal blocks, dist.build_block_jacobi) or 'ras' (overlapped
+    factors over the halo window, build_ras).  The host restart loop checks
+    the TRUE residual so the answer is unchanged.
+
+    Call signature of the returned fn: (H_sh, Bre, Bim) with B* of shape
+    (n_devices, k, n_local) sharded P(AXIS, None, None)."""
     from jax import shard_map
 
     from ..ops.banded import banded_substitute
 
-    def solve_local(Hb, bre, bim, *pcs):
-        bre, bim = bre[0], bim[0]
+    n_win = n_local + 2 * hw
+
+    def solve_local(Hb, Bre, Bim, *pcs):
+        Bre, Bim = Bre[0], Bim[0]  # (k, n_local)
 
         def spmv(vr, vi):
             return halo_spmv(Hb, vr, vi, hw, n_local, n_devices)
 
         if pcs:
             fl = jax.tree.map(lambda a: a[0], pcs[0])
+            if pc_kind == "ras":
+                def pc_apply(rr, ri):
+                    wr_, wi_ = halo_window(rr, ri, hw, n_devices)
+                    z = banded_substitute(fl, wr_, wi_, False, n_win)
+                    return z.re[hw:hw + n_local], z.im[hw:hw + n_local]
+            else:
+                def pc_apply(rr, ri):
+                    z = banded_substitute(fl, rr, ri, False, n_local)
+                    return z.re, z.im
 
             def op(vr, vi):
                 wr, wi = spmv(vr, vi)
-                z = banded_substitute(fl, wr, wi, False, n_local)
-                return z.re, z.im
-
-            z0 = banded_substitute(fl, bre, bim, False, n_local)
-            bre, bim = z0.re, z0.im
+                return pc_apply(wr, wi)
         else:
+            pc_apply = None
             op = spmv
 
-        Vr = jnp.zeros((m_krylov + 1, n_local))
-        Vi = jnp.zeros((m_krylov + 1, n_local))
-        nrm2 = jax.lax.psum(jnp.sum(bre * bre + bim * bim), AXIS)
-        beta = jnp.sqrt(nrm2)
-        inv = jnp.where(beta > 0, 1 / beta, 0.0)
-        Vr = Vr.at[0].set(bre * inv)
-        Vi = Vi.at[0].set(bim * inv)
-        H = jnp.zeros((m_krylov + 1, m_krylov, 2))
+        def gmres_one(bre, bim):
+            if pc_apply is not None:
+                bre, bim = pc_apply(bre, bim)
+            Vr = jnp.zeros((m_krylov + 1, n_local))
+            Vi = jnp.zeros((m_krylov + 1, n_local))
+            nrm2 = jax.lax.psum(jnp.sum(bre * bre + bim * bim), AXIS)
+            beta = jnp.sqrt(nrm2)
+            inv = jnp.where(beta > 0, 1 / beta, 0.0)
+            Vr = Vr.at[0].set(bre * inv)
+            Vi = Vi.at[0].set(bim * inv)
+            H = jnp.zeros((m_krylov + 1, m_krylov, 2))
 
-        def body(j, carry):
-            Vr, Vi, H = carry
-            wr, wi = op(Vr[j], Vi[j])
-            # CGS2 with psum'd dots
-            hre = jnp.zeros(m_krylov + 1)
-            him = jnp.zeros(m_krylov + 1)
-            for _ in range(2):
-                pr = jax.lax.psum(Vr @ wr + Vi @ wi, AXIS)
-                pi_ = jax.lax.psum(Vr @ wi - Vi @ wr, AXIS)
-                wr = wr - (Vr.T @ pr - Vi.T @ pi_)
-                wi = wi - (Vr.T @ pi_ + Vi.T @ pr)
-                hre = hre + pr
-                him = him + pi_
-            b2 = jax.lax.psum(jnp.sum(wr * wr + wi * wi), AXIS)
-            bj = jnp.sqrt(b2)
-            invj = jnp.where(bj > 1e-300, 1 / bj, 0.0)
-            Vr = Vr.at[j + 1].set(wr * invj)
-            Vi = Vi.at[j + 1].set(wi * invj)
-            hcol = jnp.stack([hre.at[j + 1].set(bj), him.at[j + 1].set(0.0)],
-                             axis=-1)
-            H = H.at[:, j, :].set(hcol)
-            return Vr, Vi, H
+            def body(j, carry):
+                Vr, Vi, H = carry
+                wr, wi = op(Vr[j], Vi[j])
+                # CGS2 with psum'd dots
+                hre = jnp.zeros(m_krylov + 1)
+                him = jnp.zeros(m_krylov + 1)
+                for _ in range(2):
+                    pr = jax.lax.psum(Vr @ wr + Vi @ wi, AXIS)
+                    pi_ = jax.lax.psum(Vr @ wi - Vi @ wr, AXIS)
+                    wr = wr - (Vr.T @ pr - Vi.T @ pi_)
+                    wi = wi - (Vr.T @ pi_ + Vi.T @ pr)
+                    hre = hre + pr
+                    him = him + pi_
+                b2 = jax.lax.psum(jnp.sum(wr * wr + wi * wi), AXIS)
+                bj = jnp.sqrt(b2)
+                invj = jnp.where(bj > 1e-300, 1 / bj, 0.0)
+                Vr = Vr.at[j + 1].set(wr * invj)
+                Vi = Vi.at[j + 1].set(wi * invj)
+                hcol = jnp.stack([hre.at[j + 1].set(bj),
+                                  him.at[j + 1].set(0.0)], axis=-1)
+                H = H.at[:, j, :].set(hcol)
+                return Vr, Vi, H
 
-        Vr, Vi, H = jax.lax.fori_loop(0, m_krylov, body, (Vr, Vi, H))
-        yr, yi = _lstsq_hessenberg(H[..., 0], H[..., 1], beta, m_krylov)
-        xr = Vr[:m_krylov].T @ yr - Vi[:m_krylov].T @ yi
-        xi = Vr[:m_krylov].T @ yi + Vi[:m_krylov].T @ yr
-        return xr[None], xi[None]
+            Vr, Vi, H = jax.lax.fori_loop(0, m_krylov, body, (Vr, Vi, H))
+            yr, yi = _lstsq_hessenberg(H[..., 0], H[..., 1], beta, m_krylov)
+            xr = Vr[:m_krylov].T @ yr - Vi[:m_krylov].T @ yi
+            xi = Vr[:m_krylov].T @ yi + Vi[:m_krylov].T @ yr
+            return xr, xi
+
+        Xr, Xi = jax.vmap(gmres_one)(Bre, Bim)
+        return Xr[None], Xi[None]
 
     pc_specs = (jax.tree.map(lambda _: P(AXIS), pc),) if pc is not None else ()
     fn = jax.jit(shard_map(
         solve_local, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)) + pc_specs,
-        out_specs=(P(AXIS, None), P(AXIS, None)),
+        in_specs=(P(AXIS, None), P(AXIS, None, None), P(AXIS, None, None))
+        + pc_specs,
+        out_specs=(P(AXIS, None, None), P(AXIS, None, None)),
         check_vma=False,
     ))
     if pc is not None:

@@ -283,32 +283,44 @@ def _arnoldi_expand(op, V: Z, H: Z, j0, j1, mode: str, nrefine: int = 0):
 _arnoldi_chunk = partial(jax.jit, static_argnames=("mode", "nrefine"))(_arnoldi_expand)
 
 
+def _polar_orth_rows(Wr, Wi):
+    """One pass of symmetric (Loewdin) orthonormalization of the k rows:
+    Q = G^{-1/2} W with G = W W^H, computed via eigh of the real embedding
+    [[Gre, -Gim], [Gim, Gre]] (a function of the embedding of a Hermitian
+    matrix is the embedding of the function).  Rank-deficient directions
+    (eigenvalue <= tol * max) are ZEROED, not inflated — the analogue of the
+    zero-row breakdown convention of `_arnoldi_expand`."""
+    k = Wr.shape[0]
+    Gre = Wr @ Wr.T + Wi @ Wi.T
+    Gim = Wr @ Wi.T - Wi @ Wr.T
+    M = jnp.block([[Gre, -Gim], [Gim, Gre]])
+    lam, U = jnp.linalg.eigh(M)
+    # rank tolerance ~ (1e-14)^2 relative: directions whose singular value is
+    # below f64 roundoff of the block are noise, zero them
+    inv_sqrt = jnp.where(lam > 1e-28 * jnp.maximum(lam[-1], 1e-300),
+                         1.0 / jnp.sqrt(jnp.maximum(lam, 1e-300)), 0.0)
+    Mh = (U * inv_sqrt) @ U.T  # embedding of Hermitian G^{-1/2}
+    Cre = Mh[:k, :k]
+    Cim = Mh[k:, :k]
+    return Cre @ Wr - Cim @ Wi, Cre @ Wi + Cim @ Wr
+
+
 def _block_orth(V: Z, Wr, Wi, k: int):
     """Orthonormalize the k candidate rows (Wr, Wi) against every row of V
-    (CGS2 — MXU matmuls) and then against each other (MGS2, unrolled over the
-    small static k).  Rows that vanish are zeroed (they contribute nothing to
-    later Gram-Schmidt passes, matching the zero-row convention of
-    `_arnoldi_expand`)."""
+    (CGS2 — MXU matmuls) and then against each other (two passes of
+    symmetric orthonormalization — matmuls + one tiny 2k x 2k eigh, instead
+    of an unrolled MGS whose O(k^2) HLO made large-case compiles exceed the
+    remote-TPU tunnel's limits).  Rows spanning a deficient direction come
+    out zero (they contribute nothing to later Gram-Schmidt passes, matching
+    the zero-row convention of `_arnoldi_expand`)."""
     for _ in range(2):
         hre = V.re @ Wr.T + V.im @ Wi.T  # (rows, k): conj(V) . w_j
         him = V.re @ Wi.T - V.im @ Wr.T
         Wr = Wr - (hre.T @ V.re - him.T @ V.im)
         Wi = Wi - (hre.T @ V.im + him.T @ V.re)
-    rows_r = [Wr[j] for j in range(k)]
-    rows_i = [Wi[j] for j in range(k)]
     for _ in range(2):
-        for j in range(k):
-            wr, wi = rows_r[j], rows_i[j]
-            for l in range(j):
-                hr = jnp.sum(rows_r[l] * wr + rows_i[l] * wi)
-                hi = jnp.sum(rows_r[l] * wi - rows_i[l] * wr)
-                wr = wr - (hr * rows_r[l] - hi * rows_i[l])
-                wi = wi - (hr * rows_i[l] + hi * rows_r[l])
-            beta = jnp.sqrt(jnp.sum(wr**2 + wi**2))
-            inv = jnp.where(beta > _BREAKDOWN, 1.0 / jnp.maximum(beta, _BREAKDOWN), 0.0)
-            rows_r[j] = wr * inv
-            rows_i[j] = wi * inv
-    return jnp.stack(rows_r), jnp.stack(rows_i)
+        Wr, Wi = _polar_orth_rows(Wr, Wi)
+    return Wr, Wi
 
 
 def _block_arnoldi_expand(op, V: Z, b0: int, b1: int, k: int, mode: str,

@@ -93,16 +93,23 @@ def _orth_rows(X: np.ndarray, tol: float = 1e-12) -> np.ndarray:
     return vh[:r]
 
 
-def _host_block_arnoldi(apply_fn, start: np.ndarray, depth: int) -> np.ndarray:
+def _host_block_arnoldi(apply_fn, start: np.ndarray, depth: int,
+                        block_apply=None) -> np.ndarray:
     """Block Arnoldi driven from host: start (n, k) columns, `depth` block
     steps of v <- apply_fn(v) with CGS2 against everything built so far.
-    Returns (m, n) orthonormal rows.  Used for rank k > 1 and the host tier."""
+    Returns (m, n) orthonormal rows.  Used for rank k > 1 and the host tier.
+    `block_apply` (rows -> rows, same shape) applies the operator to a whole
+    block at once — the distributed path uses it so each block step is one
+    multi-RHS dispatch instead of a per-column loop."""
     n, k = start.shape
     V = _orth_rows(start.T.copy())
     blocks = [V]
     cur = V
     for _ in range(depth):
-        nxt = np.stack([apply_fn(cur[j]) for j in range(cur.shape[0])])
+        if block_apply is not None:
+            nxt = np.asarray(block_apply(cur))
+        else:
+            nxt = np.stack([apply_fn(cur[j]) for j in range(cur.shape[0])])
         Vall = np.concatenate(blocks, axis=0)
         for _ in range(2):
             nxt = nxt - (nxt @ np.conj(Vall.T)) @ Vall
@@ -115,6 +122,29 @@ def _host_block_arnoldi(apply_fn, start: np.ndarray, depth: int) -> np.ndarray:
         if Vall2.shape[0] >= n:
             break
     return np.concatenate(blocks, axis=0)
+
+
+@partial(__import__("jax").jit,
+         static_argnames=("mode", "nrefine", "m", "n_op"))
+def _basis_seed_impl(op, Lz: Z, sig: Z, mode: str, nrefine: int, m: int,
+                     n_op: int):
+    """W = P^{-1} L and the normalized Arnoldi start vector — dispatch 1 of
+    the split rank-1 basis build (see _BASIS_SPLIT_N)."""
+    import jax.numpy as jnp
+
+    solve = _solve_wbb if mode.endswith("b") else _solve_wb
+    W = solve(op.sv, Lz, nrefine)
+    if mode.startswith("eps"):
+        v0 = W
+    else:
+        v0 = Z(jnp.concatenate([W.re, sig.re * W.re - sig.im * W.im]),
+               jnp.concatenate([W.im, sig.re * W.im + sig.im * W.re]))
+    nrm = jnp.sqrt(jnp.sum(v0.re**2 + v0.im**2))
+    v0 = Z(v0.re / nrm, v0.im / nrm)
+    V = Z(jnp.zeros((m + 1, n_op)).at[0].set(v0.re),
+          jnp.zeros((m + 1, n_op)).at[0].set(v0.im))
+    H = Z(jnp.zeros((m + 1, m)), jnp.zeros((m + 1, m)))
+    return V, H, W
 
 
 @partial(__import__("jax").jit,
@@ -139,6 +169,64 @@ def _basis_impl(op, Lz: Z, sig: Z, mode: str, nrefine: int, m: int,
     H = Z(jnp.zeros((m + 1, m)), jnp.zeros((m + 1, m)))
     V, H = _arnoldi_expand(op, V, H, 0, m, mode, nrefine)
     return V, W
+
+
+# Above this many operator dofs, split the basis build into several smaller
+# dispatches (one W-solve + one jitted program per block step / step chunk)
+# instead of one fused program: the remote-TPU tunnel kills compile requests
+# at ~280 s, and the fused whole-basis program for 3D cases exceeds that.
+# The per-step programs are identical across steps (step index is traced),
+# so each compiles once and is served from the persistent cache afterwards.
+def _split_basis(n_op: int) -> bool:
+    import jax
+
+    limit = int(os.environ.get("HELMHOLTZ_X_TPU_BASIS_SPLIT_N", "20000"))
+    if n_op < limit:
+        return False
+    mode = os.environ.get("HELMHOLTZ_X_TPU_BASIS_SPLIT", "auto")
+    if mode in ("0", "never"):
+        return False
+    if mode in ("1", "always"):
+        return True
+    return jax.default_backend() != "cpu"
+
+
+@partial(__import__("jax").jit,
+         static_argnames=("mode", "nrefine", "nrows", "n_op", "k"))
+def _block_seed_impl(op, Lz: Z, sig: Z, mode: str, nrefine: int, nrows: int,
+                     n_op: int, k: int):
+    """W = P^{-1} L and the orthonormalized seed block — dispatch 1 of the
+    split basis build."""
+    import jax.numpy as jnp
+
+    solve = _solve_wbb if mode.endswith("b") else _solve_wb
+    W = solve(op.sv, Lz, nrefine)  # (n, k)
+    if mode.startswith("eps"):
+        v0r, v0i = W.re, W.im
+    else:
+        v0r = jnp.concatenate([W.re, sig.re * W.re - sig.im * W.im])
+        v0i = jnp.concatenate([W.im, sig.re * W.im + sig.im * W.re])
+    V = Z(jnp.zeros((nrows, n_op)), jnp.zeros((nrows, n_op)))
+    Wr0, Wi0 = _block_orth(V, v0r.T, v0i.T, k)
+    return Z(V.re.at[:k].set(Wr0), V.im.at[:k].set(Wi0)), W
+
+
+@partial(__import__("jax").jit, static_argnames=("mode", "nrefine", "k"))
+def _block_step_impl(op, V: Z, b, mode: str, nrefine: int, k: int):
+    """One block-Krylov step (multi-RHS solve + orthonormalization); the
+    step index `b` is traced so every step reuses one compiled program."""
+    return _block_arnoldi_expand(op, V, b, b + 1, k, mode, nrefine)
+
+
+@partial(__import__("jax").jit, static_argnames=("k",))
+def _block_mass(V: Z, b, k: int):
+    """trace of the Gram of block b+1 == number of surviving new directions
+    (the polar orthonormalization zeroes deficient eigendirections)."""
+    import jax
+
+    rows_r = jax.lax.dynamic_slice_in_dim(V.re, (b + 1) * k, k, 0)
+    rows_i = jax.lax.dynamic_slice_in_dim(V.im, (b + 1) * k, k, 0)
+    return (rows_r**2 + rows_i**2).sum()
 
 
 @partial(__import__("jax").jit,
@@ -187,7 +275,16 @@ def _device_block_basis(factor, pencil, sigma: complex, mode: str,
     depth = max(2, -(-m // k))
     Lz = Z(jnp.asarray(np.ascontiguousarray(L.real)),
            jnp.asarray(np.ascontiguousarray(L.imag)))
-    V, W = _block_basis_impl(op, Lz, sig, mode, nrefine, depth, n_op, k)
+    if _split_basis(n_op):
+        V, W = _block_seed_impl(op, Lz, sig, mode, nrefine,
+                                (depth + 1) * k, n_op, k)
+        for b in range(depth):
+            V = _block_step_impl(op, V, b, mode, nrefine, k)
+            # Krylov-saturation early exit: no surviving new directions
+            if float(_block_mass(V, b, k)) < 0.5:
+                break
+    else:
+        V, W = _block_basis_impl(op, Lz, sig, mode, nrefine, depth, n_op, k)
     Vnp = np.asarray(V.re) + 1j * np.asarray(V.im)
     Wnp = np.asarray(W.re) + 1j * np.asarray(W.im)
     keep = np.linalg.norm(Vnp, axis=1) > 1e-14
@@ -212,7 +309,16 @@ def _device_basis(factor, pencil, sigma: complex, mode: str, L0: np.ndarray,
         n_op = 2 * C.n
     Lz = Z(jnp.asarray(np.ascontiguousarray(L0.real)),
            jnp.asarray(np.ascontiguousarray(L0.imag)))
-    V, W = _basis_impl(op, Lz, sig, mode, nrefine, m, n_op)
+    if _split_basis(n_op):
+        V, H, W = _basis_seed_impl(op, Lz, sig, mode, nrefine, m, n_op)
+        step = 16
+        j = 0
+        while j < m:
+            V, H = _arnoldi_chunk(op, V, H, j, min(j + step, m),
+                                  mode=mode, nrefine=nrefine)
+            j += step
+    else:
+        V, W = _basis_impl(op, Lz, sig, mode, nrefine, m, n_op)
     Vnp = np.asarray(V.re) + 1j * np.asarray(V.im)
     Wnp = np.asarray(W.re) + 1j * np.asarray(W.im)
     # drop exact-zero rows after a happy breakdown
@@ -291,7 +397,10 @@ def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
             info(f"! factor health check failed (W residual {relW:.1e}).")
             return None
         if eps_kind:
-            return rows
+            # SVD cleanup: with redundant flame columns the device block
+            # orthonormalization returns rows whose Gram is a projector
+            # (rank-deficient), not exact zeros — re-orthonormalize on host.
+            return _orth_rows(rows)
         n = C.n
         halves = np.concatenate([rows[:, :n], rows[:, n:]], axis=0)
         halves = np.concatenate([halves, W.T], axis=0)
@@ -445,19 +554,81 @@ def fpi_on_projection(proj: ProjectedPencil, D, target: complex, nev: int,
     return lam, Y, kk + 1, sc
 
 
+def _polish_eigenpair(solve_block, A, B, C, L, R, sc: complex, sigma: complex,
+                      lam_i: complex, x: np.ndarray, eps_kind: bool,
+                      gate: float, rel: float, maxpolish: int = 3):
+    """Inverse-iteration + fixed-s Rayleigh polish of one eigenpair of the
+    INNER pencil (s frozen at sc, exactly what the residual gate measures).
+    Each sweep is one Woodbury-corrected solve with the existing factor —
+    recovers machine-accurate eigenpairs when the projection subspace
+    saturates below the gate (large 3D cases: the resolvent-Krylov space's
+    numerical rank limits the eigenVECTOR residual to ~1e-6 while the
+    eigenvalue is already converged).  Mirrors the reference's per-iteration
+    SLEPc re-solve accuracy without re-running Arnoldi."""
+    Asp = A.to_scipy()
+    Csp = C.to_scipy()
+    Bsp = B.to_scipy() if B is not None else None
+    k = L.shape[1]
+    Wl = None
+    capm = None
+    lam = lam_i
+    for _ in range(maxpolish):
+        if eps_kind:
+            b = Csp @ x
+        else:
+            b = Bsp @ x + Csp @ (lam * x + sigma * x)
+        y = solve_block(b[:, None])[:, 0]
+        if sc != 0:
+            if Wl is None:
+                Wl = solve_block(L)
+                capm = np.linalg.inv(np.eye(k) / sc - R.T @ Wl)
+            y = y + Wl @ (capm @ (R.T @ y))
+        nrm = np.linalg.norm(y)
+        if not np.isfinite(nrm) or nrm == 0:
+            break
+        x = y / nrm
+        lr_x = L @ (R.T @ x) if sc != 0 else 0.0
+        if eps_kind:
+            lam = -(np.vdot(x, Asp @ x) - sc * np.vdot(x, lr_x)) \
+                / np.vdot(x, Csp @ x)
+        else:
+            rho = np.vdot(x, Asp @ x) + lam * np.vdot(x, Bsp @ x) \
+                + lam**2 * np.vdot(x, Csp @ x) - sc * np.vdot(x, lr_x)
+            drho = np.vdot(x, Bsp @ x) + 2 * lam * np.vdot(x, Csp @ x)
+            lam = lam - rho / drho
+        rel = true_rel_residual(A, B, C, L, R, sc, lam, x)
+        if rel <= gate:
+            break
+    return lam, x, rel
+
+
 def finalize_projected(proj: ProjectedPencil, A, B, C, L, R, lam, Y, iters,
                        sc: complex, sigma: complex, nev: int, i: int,
                        eps_kind: bool, print_results: bool,
-                       gate: Optional[float] = None) -> Optional[EigenResult]:
+                       gate: Optional[float] = None,
+                       solve_block=None) -> Optional[EigenResult]:
     """Recover full-space eigenpairs, verify the wanted one against the EXACT
-    operator, and package an EigenResult (None when the gate rejects)."""
+    operator, and package an EigenResult (None when the gate rejects).
+    `solve_block` ((n, j) -> (n, j) with the sigma-shifted factor) enables
+    the inverse-iteration polish when the raw projection misses the gate."""
     nkeep = min(max(nev, 2), len(lam))
     vecs = proj.V.T @ Y[:, :nkeep]
     vecs /= np.linalg.norm(vecs, axis=0, keepdims=True)
 
+    lam = np.array(lam, dtype=np.complex128)
     rel = true_rel_residual(A, B, C, L, R, sc, lam[i], vecs[:, i])
     if gate is None:
         gate = float(os.environ.get("HELMHOLTZ_X_TPU_PROJ_GATE", "1e-8"))
+    if np.isfinite(rel) and rel > gate and solve_block is not None:
+        info(f"- projection residual {rel:.2e} (m={proj.V.shape[0]}); "
+             "polishing with inverse iteration.")
+        Lm = np.asarray(L, dtype=np.complex128).reshape(A.n, -1)
+        Rm = np.asarray(R, dtype=np.complex128).reshape(A.n, -1)
+        lam_p, x_p, rel = _polish_eigenpair(
+            solve_block, A, B, C, Lm, Rm, sc, sigma, complex(lam[i]),
+            vecs[:, i].copy(), eps_kind, gate, rel)
+        lam[i] = lam_p
+        vecs[:, i] = x_p
     if not np.isfinite(rel) or rel > gate:
         info(f"! projection residual {rel:.2e} too large (m={proj.V.shape[0]}); "
              "falling back to the exact path.")
@@ -509,9 +680,14 @@ def projected_fpi(factor, operators, D, target: complex, nev: int, i: int,
     with timed("proj_fpi"):
         lam, Y, iters, sc = fpi_on_projection(proj, D, target, nev, i, tol,
                                               maxiter, problem_type, eps_kind)
+    def _factor_solve_block(Bm):
+        return np.stack([_solve_np(factor, Bm[:, j])
+                         for j in range(Bm.shape[1])], axis=1)
+
     with timed("proj_finalize"):
         res = finalize_projected(proj, A, B, C, L, R, lam, Y, iters, sc, sigma,
-                                 nev, i, eps_kind, print_results)
+                                 nev, i, eps_kind, print_results,
+                                 solve_block=_factor_solve_block)
     if res is not None:
         from ..utils.metrics import record
 

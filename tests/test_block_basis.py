@@ -136,3 +136,33 @@ def test_block_basis_matches_rank1_eps(tier, monkeypatch):
     E3 = fixed_point_iteration(matrices, D, 200 * 2 * np.pi, nev=2, i=0)
     om3 = np.sqrt(E3.getEigenvalue(0))
     assert abs(om3 - om1) < 1e-8 * abs(om1), (om3, om1)
+
+
+@pytest.mark.parametrize("tier", ["banded", "dense"])
+def test_split_basis_matches_fused(tier, monkeypatch):
+    """The split-dispatch basis build (seed + per-step programs, used on TPU
+    for large cases where one fused program exceeds the remote-compile
+    limits) must reproduce the fused single-dispatch eigenvalues exactly —
+    rank-1 (eps, Arnoldi chunks) and rank-3 (pep, per-block-step) paths."""
+    import helmholtz_x_tpu.solvers.linsolve as ls
+
+    monkeypatch.setattr(ls, "SPARSE_TIER", tier)
+    from helmholtz_x_tpu.solvers.fpi import fixed_point_iteration
+
+    matrices, D = _rijke1d_problem()
+    E = fixed_point_iteration(matrices, D, 200 * 2 * np.pi, nev=2, i=0)
+    om_fused = np.sqrt(E.getEigenvalue(0))
+
+    monkeypatch.setenv("HELMHOLTZ_X_TPU_BASIS_SPLIT", "always")
+    monkeypatch.setenv("HELMHOLTZ_X_TPU_BASIS_SPLIT_N", "1")
+    matrices, D = _rijke1d_problem()
+    E = fixed_point_iteration(matrices, D, 200 * 2 * np.pi, nev=2, i=0)
+    om_split = np.sqrt(E.getEigenvalue(0))
+    assert abs(om_split - om_fused) < 1e-9 * abs(om_fused), (om_split, om_fused)
+
+    matrices, D = _prf1d_problem()
+    D = _redundant_rank3(D)
+    E = fixed_point_iteration(matrices, D, np.pi, nev=2, i=0)
+    om3_split = E.getEigenvalue(0)
+    expected = 3.422713 + 0.002195j
+    assert abs(om3_split - expected) / abs(expected) < 1e-5, om3_split
