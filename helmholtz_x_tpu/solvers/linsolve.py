@@ -439,9 +439,9 @@ class BandedShiftedFactor:
                 info(f"! f32 banded LU unstable (probe residual {rel:.1e}); "
                      "refactoring in f64.")
                 self.mixed = False
-                self.refine = 1
                 self.fac, _ = factor_banded(self._P, self._perm, nb=self._nb,
-                                            dtype=np.float64)
+                                            dtype=np.float64,
+                                            equilibrate=True)
                 y_raw = self._raw_solve(b, False)
                 rel = float(np.linalg.norm(b - self._P @ y_raw)
                             / np.linalg.norm(b))
@@ -449,14 +449,27 @@ class BandedShiftedFactor:
                 info(f"! f64 banded LU still weak (probe residual {rel:.1e}); "
                      "adding refinement sweeps.")
                 self.refine = max(self.refine, 4)
+        # Refinement contracts the error by the raw relative residual per
+        # sweep.  For the refactored f64 factor pick the count that reaches
+        # ~1e-13 (on accelerators the fast_inv block inverses leave the raw
+        # solve ~1e-3 accurate, so the old fixed refine=1 left ~1e-6 solves
+        # — not enough for the projection residual gate).  The mixed-f32
+        # tier keeps its cheap fixed count: basis quality is subspace-bound
+        # and the finalize polish boosts accuracy where it matters.
+        if not self.mixed and np.isfinite(rel) and 0 < rel < 0.3:
+            import math
+
+            self.refine = max(1, min(8, math.ceil(-30.0 / math.log(rel))))
         return y_raw
 
     def _solve_refined(self, b: np.ndarray, hermitian: bool) -> np.ndarray:
         b = np.asarray(b, dtype=np.complex128)
-        if b.ndim == 2:
-            return np.stack([self._solve_refined(b[:, k], hermitian)
-                             for k in range(b.shape[1])], axis=1)
+        if b.ndim == 2 and not self._probed and not hermitian:
+            # run the lazy stability probe on one column, then batch the rest
+            self._probe(b[:, 0], self._raw_solve(b[:, 0], False))
         op = (self._P.conj().T if hermitian else self._P)
+        # multi-RHS blocks go through the banded substitution as ONE dispatch
+        # per sweep (the per-block matvecs become MXU matmuls)
         y = self._raw_solve(b, hermitian)
         if not self._probed and not hermitian:
             y = self._probe(b, y)

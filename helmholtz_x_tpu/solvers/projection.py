@@ -681,8 +681,22 @@ def projected_fpi(factor, operators, D, target: complex, nev: int, i: int,
         lam, Y, iters, sc = fpi_on_projection(proj, D, target, nev, i, tol,
                                               maxiter, problem_type, eps_kind)
     def _factor_solve_block(Bm):
-        return np.stack([_solve_np(factor, Bm[:, j])
-                         for j in range(Bm.shape[1])], axis=1)
+        from .linsolve import BandedShiftedFactor, SparseShiftedFactor
+
+        # Polish solves need full f64 accuracy; the basis-build refinement
+        # count is tuned for subspace quality only, so boost it here.
+        boost = isinstance(factor, BandedShiftedFactor)
+        if boost:
+            saved = factor.refine
+            factor.refine = max(saved, 6)
+        try:
+            if isinstance(factor, (BandedShiftedFactor, SparseShiftedFactor)):
+                return np.asarray(factor.solve_P(Bm))  # native multi-RHS
+            return np.stack([_solve_np(factor, Bm[:, j])
+                             for j in range(Bm.shape[1])], axis=1)
+        finally:
+            if boost:
+                factor.refine = saved
 
     with timed("proj_finalize"):
         res = finalize_projected(proj, A, B, C, L, R, lam, Y, iters, sc, sigma,

@@ -88,3 +88,25 @@ def test_banded_mixed_precision_refinement(monkeypatch):
     assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-12
     xh = f.solve_P_H(b)
     assert np.linalg.norm(A.conj().T @ xh - b) / np.linalg.norm(b) < 1e-12
+
+
+def test_banded_factor_multirhs_solve_p():
+    """BandedShiftedFactor.solve_P on a (n, k) block == per-column solves
+    (the polish path batches its Woodbury W-solve through this)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from helmholtz_x_tpu.solvers.linsolve import BandedShiftedFactor
+
+    rng = np.random.default_rng(5)
+    n = 120
+    main = 4.0 + rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    off = rng.standard_normal(n - 1) + 1j * rng.standard_normal(n - 1)
+    P = sp.diags([off, main, off.conj()], [-1, 0, 1]).tocsr()
+    f = BandedShiftedFactor(P)
+    B = rng.standard_normal((n, 3)) + 1j * rng.standard_normal((n, 3))
+    X = f.solve_P(B)
+    assert X.shape == (n, 3)
+    cols = np.stack([f.solve_P(B[:, j]) for j in range(3)], axis=1)
+    assert np.linalg.norm(X - cols) / np.linalg.norm(cols) < 1e-12
+    assert np.linalg.norm(P @ X - B) / np.linalg.norm(B) < 1e-10

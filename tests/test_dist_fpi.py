@@ -138,3 +138,66 @@ def test_dist_fpi_pep_matches_serial(mesh8):
     assert E_dist is not None, "distributed projection path fell back"
     om_dist = E_dist.getEigenvalue(0)
     assert abs(om_dist - om_ser) / abs(om_ser) < 1e-8, (om_dist, om_ser)
+
+
+@pytest.mark.slow
+def test_dist_fpi_micca_3d(mesh8):
+    """Sharded 3D gate at REPRESENTATIVE scale: the MICCA full-annulus
+    active FPI (34,787 dofs, 16-burner rank-16 flame, quadratic pencil) over
+    the 8-device mesh.  The halo layout must engage (real RCM bandwidth 897
+    fits one 4,349-row block) with the RAS preconditioner, and the converged
+    eigenvalue must match the reference's committed value
+    (fullAnnulus/Results/Active/FPI/active.log) — the same 1e-6 gate the
+    serial tests (test_micca_full) pass, proving serial == sharded."""
+    import sys
+
+    from helmholtz_x_tpu.parallel.fpi import DistShiftedSolver, \
+        dist_projected_fpi
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_micca_full import _build
+
+    mesh, matrices, D = _build("direct")
+    target = 3225.120 + 481.0j
+    E = dist_projected_fpi(matrices, D, target, mesh8, 8, nev=4, i=0,
+                           m=48, inner_tol=1e-8)
+    assert E is not None, "distributed projection path fell back"
+    lam = sorted([E.getEigenvalue(0), E.getEigenvalue(1)],
+                 key=lambda z: -z.imag)[0]
+    expected = 3253.754657 + 472.569066j
+    assert abs(lam - expected) / abs(expected) < 1e-6, lam
+
+
+@pytest.mark.slow
+def test_dist_solver_micca_layout(mesh8):
+    """The MICCA operator's sharded solver must engage the halo layout with
+    the RAS preconditioner (not the all_gather fallback) — structural check
+    split out of the full convergence gate."""
+    import sys
+
+    from helmholtz_x_tpu.parallel.fpi import DistShiftedSolver
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_micca_full import CASE, gamma, r_gas, T_amb, T_a, T_b, l_cc, \
+        R_outlet
+    from tests_micca_common import axial_sound_speed_dg0
+
+    from helmholtz_x_tpu.acoustics import AcousticMatrices
+    from helmholtz_x_tpu.mesh.xdmf import XDMFReader
+
+    mesh = XDMFReader(CASE + "/MeshDir/mesh").mesh
+    c = axial_sound_speed_dg0(mesh, gamma, r_gas, T_amb, T_a, T_b, l_cc)
+    matrices = AcousticMatrices(mesh, {11: {"Robin": R_outlet}}, c)
+    sigma = complex(3225.120 + 481.0j)
+    P = (matrices.A.to_scipy() + sigma * matrices.B.to_scipy()
+         + sigma**2 * matrices.C.to_scipy())
+    solver = DistShiftedSolver(P, mesh8, 8, m_krylov=40, inner_tol=1e-8)
+    assert solver.layout == "halo", solver.layout
+    assert solver.pc_kind == "ras", solver.pc_kind
+    assert 0 < solver.hw <= solver.n_local
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((P.shape[0], 4)) \
+        + 1j * rng.standard_normal((P.shape[0], 4))
+    X = solver.solve_block(B)
+    rel = np.linalg.norm(P @ X - B) / np.linalg.norm(B)
+    assert rel < 1e-7, rel
