@@ -214,19 +214,17 @@ def _block_seed_impl(op, Lz: Z, sig: Z, mode: str, nrefine: int, nrows: int,
 @partial(__import__("jax").jit, static_argnames=("mode", "nrefine", "k"))
 def _block_step_impl(op, V: Z, b, mode: str, nrefine: int, k: int):
     """One block-Krylov step (multi-RHS solve + orthonormalization); the
-    step index `b` is traced so every step reuses one compiled program."""
-    return _block_arnoldi_expand(op, V, b, b + 1, k, mode, nrefine)
-
-
-@partial(__import__("jax").jit, static_argnames=("k",))
-def _block_mass(V: Z, b, k: int):
-    """trace of the Gram of block b+1 == number of surviving new directions
-    (the polar orthonormalization zeroes deficient eigendirections)."""
+    step index `b` is traced so every step reuses one compiled program.
+    Also returns the new block's Gram trace == number of surviving new
+    directions (the polar orthonormalization zeroes deficient
+    eigendirections) so the host can stop at Krylov saturation without an
+    extra round trip."""
     import jax
 
+    V = _block_arnoldi_expand(op, V, b, b + 1, k, mode, nrefine)
     rows_r = jax.lax.dynamic_slice_in_dim(V.re, (b + 1) * k, k, 0)
     rows_i = jax.lax.dynamic_slice_in_dim(V.im, (b + 1) * k, k, 0)
-    return (rows_r**2 + rows_i**2).sum()
+    return V, (rows_r**2 + rows_i**2).sum()
 
 
 @partial(__import__("jax").jit,
@@ -279,9 +277,9 @@ def _device_block_basis(factor, pencil, sigma: complex, mode: str,
         V, W = _block_seed_impl(op, Lz, sig, mode, nrefine,
                                 (depth + 1) * k, n_op, k)
         for b in range(depth):
-            V = _block_step_impl(op, V, b, mode, nrefine, k)
+            V, mass = _block_step_impl(op, V, b, mode, nrefine, k)
             # Krylov-saturation early exit: no surviving new directions
-            if float(_block_mass(V, b, k)) < 0.5:
+            if float(mass) < 0.5:
                 break
     else:
         V, W = _block_basis_impl(op, Lz, sig, mode, nrefine, depth, n_op, k)
@@ -684,8 +682,10 @@ def projected_fpi(factor, operators, D, target: complex, nev: int, i: int,
         from .linsolve import BandedShiftedFactor, SparseShiftedFactor
 
         # Polish solves need full f64 accuracy; the basis-build refinement
-        # count is tuned for subspace quality only, so boost it here.
-        boost = isinstance(factor, BandedShiftedFactor)
+        # count is tuned for subspace quality only, so boost it here.  The
+        # non-mixed banded factor self-tunes via the lazy stability probe
+        # (fired by this very solve), so only the f32 tier needs the boost.
+        boost = isinstance(factor, BandedShiftedFactor) and factor.mixed
         if boost:
             saved = factor.refine
             factor.refine = max(saved, 6)
