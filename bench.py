@@ -35,6 +35,7 @@ import numpy as np
 
 MICCA_BASELINE_S = 281.938   # reference serial direct+adjoint (active.log)
 RIJKE_BASELINE_S = 2.78      # reference serial RijkeTube1D (active.log)
+DUCT_BASELINE_S = 498.9      # reference serial FlamedDuct active (active.log)
 
 MICCA_CASE = ("/root/reference/numerical_examples/AnnularCombustor/Micca/"
               "fullAnnulus")
@@ -158,9 +159,54 @@ def bench_rijke():
     }
 
 
+def bench_flamedduct():
+    """FlamedDuct active (33,855 dofs, rank-1 flame, choked BCs -> quadratic
+    pencil): end-to-end wall vs the reference's 8 m 18.9 s serial
+    (FlamedDuct/Results/Active/active.log; 2 m 55 s on 8 MPI ranks)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    import test_flamedduct as fd
+
+    from helmholtz_x_tpu.acoustics import AcousticMatrices
+    from helmholtz_x_tpu.eigenvectors import normalize_eigenvector
+    from helmholtz_x_tpu.fem.fields import (gaussian_function,
+                                            half_gaussian_function, rho_ideal,
+                                            temperature_step)
+    from helmholtz_x_tpu.flame import DistributedFlameMatrix
+    from helmholtz_x_tpu.ftf import nTau
+    from helmholtz_x_tpu.mesh.xdmf import XDMFReader
+    from helmholtz_x_tpu.solvers.fpi import fixed_point_iteration
+
+    t0 = time.perf_counter()
+    mesh = XDMFReader(fd.CASE + "/MeshDir/mesh").mesh
+    T = temperature_step(mesh, fd.x_flame, fd.T_passive, fd.T_flame)
+    matrices = AcousticMatrices(mesh, fd.BCS, T)
+    FTF = nTau(fd.n_ftf, fd.tau)
+    rho = rho_ideal(T, fd.p_gas, fd.r_gas)
+    w = gaussian_function(mesh, fd.x_ref, fd.a_ref)
+    h = half_gaussian_function(mesh, fd.x_flame, fd.a_flame)
+    D = DistributedFlameMatrix(mesh, w, h, rho, T, fd.q_0, fd.u_b, FTF)
+    D.assemble_submatrices()
+    E = fixed_point_iteration(matrices, D, 250 * 2 * np.pi, nev=2)
+    omega, _ = normalize_eigenvector(mesh, E, 0)
+    wall = time.perf_counter() - t0
+    expected = 1649.695869 - 43.234201j
+    rel = abs(omega - expected) / abs(expected)
+    assert rel < 1e-6, (omega, rel)
+    return wall, omega, rel
+
+
 def main():
     try:
         out = bench_micca()
+        # secondary 3D case: FlamedDuct active (rank-1 path)
+        try:
+            w, om, rel = bench_flamedduct()
+            out["detail"]["flamedduct_active_s"] = round(w, 2)
+            out["detail"]["flamedduct_vs_baseline"] = round(DUCT_BASELINE_S / w, 3)
+            out["detail"]["flamedduct_rel_vs_ref"] = float(f"{rel:.2e}")
+        except Exception as e:
+            out["detail"]["flamedduct_error"] = f"{type(e).__name__}: {e}"[:200]
         # secondary: the small-case wall the earlier rounds tracked
         try:
             r = bench_rijke()

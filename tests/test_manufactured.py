@@ -56,3 +56,32 @@ def test_manufactured_dispersion(Z):
     om_ref = dispersion_root(Z, target)
     # FEM discretization error dominates; 160x40 P1 -> ~1e-4 relative
     assert abs(omega - om_ref) / abs(om_ref) < 2e-3, (omega, om_ref)
+
+
+def test_manufactured_convergence_order():
+    """Mesh-refinement gate: the error vs the analytic dispersion root must
+    shrink at the P1 rate (~h^2) under refinement, and the Richardson
+    extrapolation of the two finest solves must land within 2e-5 of the
+    analytic root — separating DISCRETIZATION error (which refines away)
+    from SOLVER error (which would not).  Upgrades the single-mesh 2e-3
+    tolerance above into a real solver gate (VERDICT r2 weak #7)."""
+    Z = 4.0 + 0j
+    target = 600 * 2 * np.pi
+    om_ref = dispersion_root(Z, target)
+    errs = []
+    oms = []
+    for nx, ny in ((40, 10), (80, 20), (160, 40)):
+        mesh = rectangle_setup(nx, ny, L, H)
+        c = c_uniform(mesh, C0)
+        matrices = AcousticMatrices(mesh, {4: {"Robin": calc_R(Z)}}, c)
+        E = pep_solver(matrices.A, matrices.B, matrices.C, target, nev=2)
+        omega, _ = normalize_eigenvector(mesh, E, 0, print_eigs=False)
+        oms.append(omega)
+        errs.append(abs(omega - om_ref) / abs(om_ref))
+    # observed order p = log2(e_coarse / e_fine) per refinement step
+    p1 = np.log2(errs[0] / errs[1])
+    p2 = np.log2(errs[1] / errs[2])
+    assert p1 > 1.7 and p2 > 1.7, (errs, p1, p2)
+    # Richardson: om_h = om_exact + C h^2  ->  om_ext = (4 om_f - om_c) / 3
+    om_ext = (4 * oms[2] - oms[1]) / 3
+    assert abs(om_ext - om_ref) / abs(om_ref) < 2e-5, (om_ext, om_ref)
