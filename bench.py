@@ -12,6 +12,13 @@ BASELINE.md row "MICCA FPI direct+adjoint total").
 vs_baseline = 281.938 s / our_seconds on ONE chip (>1 means faster than the
 reference's serial run; the reference needs 8 MPI ranks to reach 26.2 s).
 
+Self-contained: no imports from tests/.  The remote-TPU session bind (which
+can take minutes behind a cold relay, see utils/warmup.py) is started in a
+background thread IMMEDIATELY so it overlaps host-side setup; if it is still
+pending when the solver needs a factorization, the solver degrades to the
+host sparse-direct tier rather than stalling (`detail.tier` records which
+path ran).
+
 Falls back to the RijkeTube1D active bench (reference serial 2.78 s) if the
 annular case cannot run, so the driver always records a valid line.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -31,6 +38,12 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+from helmholtz_x_tpu.utils.warmup import (bind_seconds, device_ready,
+                                          start_device_warmup)
+
+start_device_warmup()  # overlap the (possibly minutes-long) session bind
+                       # with every bit of host-side setup below
+
 import numpy as np
 
 MICCA_BASELINE_S = 281.938   # reference serial direct+adjoint (active.log)
@@ -39,16 +52,31 @@ DUCT_BASELINE_S = 498.9      # reference serial FlamedDuct active (active.log)
 
 MICCA_CASE = ("/root/reference/numerical_examples/AnnularCombustor/Micca/"
               "fullAnnulus")
+DUCT_CASE = ("/root/reference/numerical_examples/Longitudinal/NetworkCode/"
+             "FlamedDuct")
 OMEGA_DIR = 3253.754657 + 472.569066j
 OMEGA_ADJ = 3253.754657 - 472.569066j
 
 
-def bench_micca():
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    "tests"))
-    from scipy.io import loadmat
+def _cyl2cart(rho, phi, zeta):
+    return rho * np.cos(phi), rho * np.sin(phi), zeta
 
-    from tests_micca_common import axial_sound_speed_dg0, cyl2cart
+
+def _micca_sound_speed(mesh):
+    """DG0 axial speed-of-sound profile (reference Micca params.py c(mesh)):
+    plenum (z<0) at 300 K, quadratic blend to 1200 K over the 0.2 m chamber."""
+    from helmholtz_x_tpu.fem.fields import DGField
+
+    gamma, r_gas = 1.4, 287.0
+    T_amb, T_a, T_b, l_cc = 300.0, 1521.0, 1200.0, 0.2
+    z = mesh.points[mesh.cells].mean(axis=1)[:, 2]
+    T = np.where(z < 0, T_amb,
+                 np.where(z < l_cc, (T_b - T_a) * (z / l_cc) ** 2 + T_a, T_b))
+    return DGField(np.sqrt(gamma * r_gas * T), "soundspeed")
+
+
+def bench_micca():
+    from scipy.io import loadmat
 
     from helmholtz_x_tpu.acoustics import AcousticMatrices
     from helmholtz_x_tpu.eigenvectors import normalize_eigenvector
@@ -58,22 +86,33 @@ def bench_micca():
     from helmholtz_x_tpu.mesh.xdmf import XDMFReader
     from helmholtz_x_tpu.solvers.fpi import fixed_point_iteration
 
+    stages = {}
     t0 = time.perf_counter()
+
+    def _mark(name):
+        stages[name] = round(time.perf_counter() - t0 - sum(stages.values()), 2)
+
     mesh = XDMFReader(MICCA_CASE + "/MeshDir/mesh").mesh
-    c = axial_sound_speed_dg0(mesh, 1.4, 287.0, 300.0, 1521.0, 1200.0, 0.2)
+    _mark("mesh_load_s")
+    c = _micca_sound_speed(mesh)
     matrices = AcousticMatrices(mesh, {11: {"Robin": -0.875 - 0.2j}}, c)
+    _mark("assembly_s")
     mat = loadmat(MICCA_CASE + "/ftf.mat")
     FTF = stateSpace(mat["A"], mat["b"], mat["c"], mat["d"])
     h = q_multiple(mesh, 16)
-    x_r = np.array([cyl2cart(0.175, i * np.deg2rad(22.5), -0.02)
+    x_r = np.array([_cyl2cart(0.175, i * np.deg2rad(22.5), -0.02)
                     for i in range(16)])
     D = PointwiseFlameMatrix(mesh, None, x_r, h, 101325.0 / (287.0 * 300.0),
                              2080.0, 0.66, FTF)
+    _mark("flame_s")
     t_setup = time.perf_counter() - t0
 
     detail = {"n": matrices.A.n, "backend": jax.default_backend(),
-              "setup_s": round(t_setup, 2)}
+              "setup_s": round(t_setup, 2), "setup_stages": stages,
+              "device_ready_at_solve": device_ready()}
     walls = {}
+    from helmholtz_x_tpu.solvers.linsolve import build_shifted_factor
+
     for problem_type, sign, expected in (("direct", 1, OMEGA_DIR),
                                          ("adjoint", -1, OMEGA_ADJ)):
         t1 = time.perf_counter()
@@ -81,6 +120,8 @@ def bench_micca():
         target = 3225.120 + sign * 481.0j
         E = fixed_point_iteration(matrices, D, target, i=0, nev=4, tol=1e-8,
                                   problem_type=problem_type)
+        detail[f"{problem_type}_tier"] = getattr(build_shifted_factor,
+                                                 "last_tier", "?")
         om1, _ = normalize_eigenvector(mesh, E, 0)
         om2, _ = normalize_eigenvector(mesh, E, 1)
         got = sorted([om1, om2], key=lambda z: -sign * z.imag)[0]
@@ -92,6 +133,7 @@ def bench_micca():
         detail[f"{problem_type}_rel_vs_ref"] = float(f"{rel:.2e}")
 
     wall = t_setup + walls["direct"] + walls["adjoint"]
+    detail["device_bind_s"] = bind_seconds()
     detail["baseline"] = ("reference serial direct+adjoint 281.94 s; "
                           "8-rank MPI 26.2 s (activeParallel.log)")
     return {
@@ -163,10 +205,6 @@ def bench_flamedduct():
     """FlamedDuct active (33,855 dofs, rank-1 flame, choked BCs -> quadratic
     pencil): end-to-end wall vs the reference's 8 m 18.9 s serial
     (FlamedDuct/Results/Active/active.log; 2 m 55 s on 8 MPI ranks)."""
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    "tests"))
-    import test_flamedduct as fd
-
     from helmholtz_x_tpu.acoustics import AcousticMatrices
     from helmholtz_x_tpu.eigenvectors import normalize_eigenvector
     from helmholtz_x_tpu.fem.fields import (gaussian_function,
@@ -177,15 +215,26 @@ def bench_flamedduct():
     from helmholtz_x_tpu.mesh.xdmf import XDMFReader
     from helmholtz_x_tpu.solvers.fpi import fixed_point_iteration
 
+    # case constants (reference FlamedDuct params.py)
+    p_gas, r_gas = 100000.0, 287.1
+    T_passive, T_flame = 1000.0, 1500.0
+    x_flame = np.array([[0.0, 0.0, 0.50]])
+    x_ref = np.array([[0.0, 0.0, 0.35]])
+    a_flame = a_ref = 0.025
+    n_ftf, tau = 1.0, 0.2e-3
+    q_0, u_b = -57015.232012607579, 11.485465769828917
+    M0, M1 = 9.2224960671405849e-003, 1.1408306741423997e-002
+    bcs = {3: {"ChokedInlet": M0}, 8: {"ChokedOutlet": M1}}
+
     t0 = time.perf_counter()
-    mesh = XDMFReader(fd.CASE + "/MeshDir/mesh").mesh
-    T = temperature_step(mesh, fd.x_flame, fd.T_passive, fd.T_flame)
-    matrices = AcousticMatrices(mesh, fd.BCS, T)
-    FTF = nTau(fd.n_ftf, fd.tau)
-    rho = rho_ideal(T, fd.p_gas, fd.r_gas)
-    w = gaussian_function(mesh, fd.x_ref, fd.a_ref)
-    h = half_gaussian_function(mesh, fd.x_flame, fd.a_flame)
-    D = DistributedFlameMatrix(mesh, w, h, rho, T, fd.q_0, fd.u_b, FTF)
+    mesh = XDMFReader(DUCT_CASE + "/MeshDir/mesh").mesh
+    T = temperature_step(mesh, x_flame, T_passive, T_flame)
+    matrices = AcousticMatrices(mesh, bcs, T)
+    FTF = nTau(n_ftf, tau)
+    rho = rho_ideal(T, p_gas, r_gas)
+    w = gaussian_function(mesh, x_ref, a_ref)
+    h = half_gaussian_function(mesh, x_flame, a_flame)
+    D = DistributedFlameMatrix(mesh, w, h, rho, T, q_0, u_b, FTF)
     D.assemble_submatrices()
     E = fixed_point_iteration(matrices, D, 250 * 2 * np.pi, nev=2)
     omega, _ = normalize_eigenvector(mesh, E, 0)
@@ -218,7 +267,11 @@ def main():
         print(f"[bench] annular case failed ({type(e).__name__}: {e}); "
               "falling back to RijkeTube1D", file=sys.stderr, flush=True)
         out = bench_rijke()
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+    # The warm-up thread may still be blocked inside a remote device call;
+    # interpreter teardown with a live PJRT stream aborts in C++.  The JSON
+    # is out — exit without running destructors.
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -1,11 +1,21 @@
-"""Complex CSR sparse matrices as JAX arrays.
+"""Complex CSR sparse matrices as (re, im) f64 array pairs.
 
 Replaces the reference's PETSc ``aij``/``mpiaij`` matrices
-(reference: helmholtz_x/flame_matrices.py:166-181, acoustic_matrices.py:101-125)
-with a device-resident CSR whose values are (re, im) f64 pairs.
+(reference: helmholtz_x/flame_matrices.py:166-181, acoustic_matrices.py:101-125).
 
-SpMV runs as gather + segment_sum, which XLA fuses well on TPU; the row index
-array is precomputed so the hot path has static shapes only.
+CSR is a pure pytree, so the SAME structure serves two roles:
+
+* **host-resident** (numpy leaves) — what every constructor returns.  All of
+  assembly, Galerkin projection, Bloch transforms and I/O stay on the host:
+  zero device traffic during setup (the accelerator may sit behind a
+  network tunnel where even a trivial first transfer blocks on remote
+  session binding).
+* **device-resident** (jax leaves) — produced by ONE explicit
+  :func:`csr_device` transfer when a solver hands the operator to its jitted
+  hot loop; reusing the returned pytree across dispatches avoids re-uploads.
+
+SpMV runs as gather + prefix-sum segment reduction, which XLA fuses well on
+TPU; the row index array is precomputed so the hot path has static shapes.
 """
 
 from __future__ import annotations
@@ -42,8 +52,11 @@ class CSR(NamedTuple):
     def to_scipy(self):
         import scipy.sparse as sp
 
+        # free for host-resident CSRs (numpy leaves); a device readback only
+        # when called on an explicitly device-placed copy
         return sp.csr_matrix(
-            (np.asarray(self.data.to_numpy()), np.asarray(self.indices), np.asarray(self.indptr)),
+            (np.asarray(self.data.re) + 1j * np.asarray(self.data.im),
+             np.asarray(self.indices), np.asarray(self.indptr)),
             shape=(self.n, self.n),
         )
 
@@ -56,10 +69,24 @@ class CSR(NamedTuple):
 def csr_empty(n: int) -> CSR:
     """All-zero CSR (used as the absent-B placeholder in solver pytrees)."""
     return CSR(
-        indptr=jnp.zeros(n + 1, jnp.int32),
-        indices=jnp.zeros(0, jnp.int32),
-        rows=jnp.zeros(0, jnp.int32),
-        data=Z(jnp.zeros(0), jnp.zeros(0)),
+        indptr=np.zeros(n + 1, np.int32),
+        indices=np.zeros(0, np.int32),
+        rows=np.zeros(0, np.int32),
+        data=Z(np.zeros(0), np.zeros(0)),
+    )
+
+
+def csr_device(A: CSR) -> CSR:
+    """Explicit one-time host->device transfer of a host-built CSR.
+
+    Solvers call this ONCE per factorization/basis build and thread the
+    returned pytree through every jitted dispatch, so the operator crosses
+    the host<->device link a single time."""
+    return CSR(
+        indptr=jnp.asarray(A.indptr),
+        indices=jnp.asarray(A.indices),
+        rows=jnp.asarray(A.rows),
+        data=Z(jnp.asarray(A.data.re), jnp.asarray(A.data.im)),
     )
 
 
@@ -73,10 +100,11 @@ def csr_from_scipy(mat) -> CSR:
     rows = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
     data = np.asarray(mat.data)
     return CSR(
-        indptr=jnp.asarray(indptr),
-        indices=jnp.asarray(mat.indices, dtype=jnp.int32),
-        rows=jnp.asarray(rows),
-        data=Z(jnp.asarray(data.real, jnp.float64), jnp.asarray(data.imag, jnp.float64)),
+        indptr=indptr,
+        indices=np.asarray(mat.indices, dtype=np.int32),
+        rows=rows,
+        data=Z(np.ascontiguousarray(data.real, dtype=np.float64),
+               np.ascontiguousarray(data.imag, dtype=np.float64)),
     )
 
 
@@ -113,10 +141,11 @@ def csr_from_coo(n: int, rows, cols, vals_re, vals_im) -> CSR:
     counts = np.bincount(out_rows, minlength=n)
     indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
     return CSR(
-        indptr=jnp.asarray(indptr),
-        indices=jnp.asarray(out_cols),
-        rows=jnp.asarray(out_rows),
-        data=Z(jnp.asarray(vr_u), jnp.asarray(vi_u)),
+        indptr=indptr,
+        indices=out_cols,
+        rows=out_rows,
+        data=Z(np.asarray(vr_u, dtype=np.float64),
+               np.asarray(vi_u, dtype=np.float64)),
     )
 
 

@@ -104,6 +104,87 @@ def pack_ozaki_band(band_re: np.ndarray, band_im: np.ndarray, nb: int,
         first=jnp.asarray(first))
 
 
+def pack_ozaki_band_device(sp_mat, perm: np.ndarray, nb: int, K: int = 6,
+                           nbkp: int | None = None, W: int | None = None):
+    """Pack a scipy sparse matrix into an OzakiBand ON DEVICE.
+
+    Only the nnz-sized COO triplets cross the host->device link (~20 bytes
+    per nonzero); the compact (nblk, K, nb, nb) bf16 chunk tensor (hundreds
+    of MB for 3D operators) is scattered and bit-sliced by one jitted
+    program on the accelerator — essential behind a network tunnel, and the
+    production build step for wiring the Ozaki SpMM into the banded solve
+    tier's iterative refinement (see solvers/arnoldi._apply_P).
+
+    Returns (OzakiBand, W, nbk, nbkp).  Pass nbkp/W from an existing
+    BandedFactor so the SpMM layout matches its padded geometry."""
+    import scipy.sparse as sp
+
+    n = sp_mat.shape[0]
+    a = sp.coo_matrix(sp_mat)
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm[:n]] = np.arange(n)
+    r = inv[a.row]
+    c = inv[a.col]
+    bw = int(np.abs(r - c).max()) if a.nnz else 0
+    W_needed = max(1, -(-bw // nb))
+    if W is None:
+        W = W_needed
+    elif W < W_needed:
+        raise ValueError(f"forced W={W} < needed {W_needed}")
+    nbk = -(-n // nb)
+    if nbkp is None:
+        nbkp = nbk + W
+    br = (r // nb).astype(np.int64)
+    slot = ((c // nb) - (r // nb) + W).astype(np.int64)
+    # compact block ids: unique (br, slot) pairs, ordered by (br, slot) so
+    # every block row's blocks are contiguous and `first` marks row starts;
+    # force the diagonal block of every PADDED block row to exist so each
+    # output row is visited (matches pack_ozaki_band's nz[:, W] = True)
+    key = br * (2 * W + 1) + slot
+    diag_keys = np.arange(nbkp, dtype=np.int64) * (2 * W + 1) + W
+    uniq = np.unique(np.concatenate([key, diag_keys]))
+    blk = np.searchsorted(uniq, key)
+    rof = (uniq // (2 * W + 1)).astype(np.int32)
+    sof = (uniq % (2 * W + 1)).astype(np.int32)
+    first = np.zeros(len(uniq), np.int32)
+    first[np.unique(rof, return_index=True)[1]] = 1
+    nblk = len(uniq)
+    lr = (r % nb).astype(np.int32)
+    lc = (c % nb).astype(np.int32)
+
+    @partial(jax.jit, static_argnames=("nblk", "nb", "K"))
+    def _scatter_slice(blk, lr, lc, vre, vim, nblk, nb, K):
+        z = jnp.zeros((nblk, nb, nb))
+        vr = z.at[blk, lr, lc].add(vre)
+        vi = z.at[blk, lr, lc].add(vim)
+
+        def slice_blocks(v):
+            amax = jnp.max(jnp.abs(v), axis=(-2, -1))
+            e = jnp.where(amax > 0,
+                          jnp.ceil(jnp.log2(jnp.maximum(amax, 1e-300))), 0.0)
+            u = v / jnp.exp2(e)[..., None, None]
+            chunks = []
+            prev = jnp.zeros_like(u)
+            for i in range(K):
+                s_i = (jnp.round(u * 2.0 ** (8 * (i + 1)))
+                       / 2.0 ** (8 * (i + 1)))
+                chunks.append((s_i - prev).astype(jnp.bfloat16))
+                prev = s_i
+            return jnp.stack(chunks, axis=1), e.astype(jnp.int32)
+
+        cre, ere = slice_blocks(vr)
+        cim, eim = slice_blocks(vi)
+        return cre, cim, ere, eim
+
+    cre, cim, ere, eim = _scatter_slice(
+        jnp.asarray(blk), jnp.asarray(lr), jnp.asarray(lc),
+        jnp.asarray(a.data.real), jnp.asarray(a.data.imag), nblk, nb, K)
+    band = OzakiBand(chunks_re=cre, chunks_im=cim, ea_re=ere, ea_im=eim,
+                     rof=jnp.asarray(rof), sof=jnp.asarray(sof),
+                     first=jnp.asarray(first))
+    return band, W, nbk, nbkp
+
+
 def _slice_x_device(x2: jnp.ndarray, nb: int, nbkp: int, K: int):
     """Device bit-slicing of the dense operand: x2 (npad, ncol) f64 ->
     (chunks (nbkp, K, ncol, nb) bf16, exponents (nbkp,) i32).  Transposed

@@ -32,7 +32,7 @@ import jax.scipy.linalg as jsl
 import numpy as np
 
 from ..ops.cplx import Z, zzeros
-from ..ops.csr import CSR, csr_empty, spmv, spmv_H
+from ..ops.csr import CSR, csr_device, csr_empty, spmv, spmv_H
 from ..utils.logging import info
 from ..ops.banded import BandedFactor, banded_solve, banded_solve_H
 from .linsolve import (
@@ -62,7 +62,14 @@ class SolveOp(NamedTuple):
 
 class BandedSolveOp(NamedTuple):
     """Banded-tier analogue of SolveOp: block-banded LU factors + the exact
-    CSR operands for no-pivot iterative refinement + Woodbury state."""
+    CSR operands for no-pivot iterative refinement + Woodbury state.
+
+    ``ozP`` (optional, accelerator tier): the exact shifted operator
+    P = A + cb B + cc C packed as an Ozaki bit-sliced block-band
+    (ops/ozaki.OzakiBand) in the factor's RCM geometry — the refinement
+    matvecs then run as bf16 MXU SpMMs (~50-80x the gather-based CSR SpMV
+    at block-Krylov widths, ~2.5e-10 relative) instead of gather-bound
+    f64 CSR products.  None disables (CPU tier, small problems)."""
 
     fac: BandedFactor
     A: CSR
@@ -71,6 +78,7 @@ class BandedSolveOp(NamedTuple):
     cb: Z
     cc: Z
     wb: Woodbury
+    ozP: object = None
 
 
 class EpsOp(NamedTuple):
@@ -95,8 +103,36 @@ def _kT_matvec(M: Z, x: Z) -> Z:
     return Z(M.re.T @ x.re - M.im.T @ x.im, M.re.T @ x.im + M.im.T @ x.re)
 
 
+def _apply_P_ozaki(sv: "BandedSolveOp", x: Z) -> Z:
+    """P x via the f64-accurate Ozaki MXU SpMM in the factor's banded RCM
+    layout (pad + permute -> SpMM -> unpermute).  The band packs the
+    UNequilibrated exact operator, so no dscale enters."""
+    from ..ops.ozaki import ozaki_spmm
+
+    f = sv.fac
+    nb, W = f.nb, f.W
+    nbkp = f.band_re.shape[0]
+    npad = nbkp * nb
+    n = sv.A.n
+    squeeze = x.re.ndim == 1
+    xr = x.re[:, None] if squeeze else x.re
+    xi = x.im[:, None] if squeeze else x.im
+    k = xr.shape[1]
+    pr = jnp.zeros((npad, k)).at[:n].set(xr)[f.perm]
+    pi = jnp.zeros((npad, k)).at[:n].set(xi)[f.perm]
+    y = ozaki_spmm(sv.ozP, Z(pr, pi), W, nb, nbkp)
+    yr = y.re[f.iperm][:n]
+    yi = y.im[f.iperm][:n]
+    if squeeze:
+        return Z(yr[:, 0], yi[:, 0])
+    return Z(yr, yi)
+
+
 def _apply_P(sv: SolveOp, x: Z) -> Z:
-    """P x = A x + cb B x + cc C x (exact, f64)."""
+    """P x = A x + cb B x + cc C x (exact, f64); the banded accelerator
+    tier substitutes the Ozaki MXU SpMM of the pre-packed P when present."""
+    if getattr(sv, "ozP", None) is not None:
+        return _apply_P_ozaki(sv, x)
     ax = spmv(sv.A, x)
     bx = spmv(sv.B, x)
     cx = spmv(sv.C, x)
@@ -475,11 +511,11 @@ def eps_solver(A: CSR, C: CSR, target: complex, nev: int = 2,
         nus, ys, rel, Vnp, j = _run_arnoldi(None, "eps", n, nev, tol, mmax,
                                             host_apply=apply_fn)
     elif backend == "banded":
-        op = EpsOp(sv=factor.solve_op(), C=C)
+        op = EpsOp(sv=factor.solve_op(), C=csr_device(C))
         nus, ys, rel, Vnp, j = _run_arnoldi(op, "epsb", n, nev, tol, mmax,
                                             nrefine=factor.refine)
     else:
-        op = EpsOp(sv=factor.solve_op(), C=C)
+        op = EpsOp(sv=factor.solve_op(), C=csr_device(C))
         nus, ys, rel, Vnp, j = _run_arnoldi(op, "eps", n, nev, tol, mmax,
                                             nrefine=factor.nrefine)
     lams = sigma + 1.0 / nus
@@ -562,12 +598,12 @@ def pep_solver(A: CSR, B: CSR, C: CSR, target: complex, nev: int = 2,
         nus, ys, rel, Vnp, j = _run_arnoldi(None, "pep", 2 * n, nev, tol, mmax,
                                             host_apply=apply_fn)
     elif backend == "banded":
-        op = PepOp(sv=factor.solve_op(), B=B, C=C,
+        op = PepOp(sv=factor.solve_op(), B=csr_device(B), C=csr_device(C),
                    sig=Z(jnp.asarray(sigma.real), jnp.asarray(sigma.imag)))
         nus, ys, rel, Vnp, j = _run_arnoldi(op, "pepb", 2 * n, nev, tol, mmax,
                                             nrefine=factor.refine)
     else:
-        op = PepOp(sv=factor.solve_op(), B=B, C=C,
+        op = PepOp(sv=factor.solve_op(), B=csr_device(B), C=csr_device(C),
                    sig=Z(jnp.asarray(sigma.real), jnp.asarray(sigma.imag)))
         nus, ys, rel, Vnp, j = _run_arnoldi(op, "pep", 2 * n, nev, tol, mmax,
                                             nrefine=factor.nrefine)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cplx import Z, zarray
-from ..ops.csr import CSR, csr_empty, spmv, spmv_H
+from ..ops.csr import CSR, csr_device, csr_empty
 from ..ops.dense import DenseFactor, dense_solve, dense_solve_H, factor_dense
 from ..utils.logging import info
 
@@ -119,18 +119,24 @@ class ShiftedFactor:
         self._Wh_np = None
         self._G = None  # R^T W (k, k)
         self._Gh = None  # conj(L)^T Wh
+        self._sp = None  # cached host scipy (A, B, C) for refinement SpMVs
+        self._dev = None  # cached device copies of (A, B, C) for solve_op
 
     @classmethod
     def from_terms(cls, terms, n: int) -> "ShiftedFactor":
         return cls(csr_weighted_dense(terms), terms=terms)
 
     def solve_op(self):
-        """Device pytree for the jitted Arnoldi chunks (arnoldi.SolveOp)."""
+        """Device pytree for the jitted Arnoldi chunks (arnoldi.SolveOp).
+        The CSR operands cross to the device ONCE (cached across calls)."""
         from .arnoldi import SolveOp
 
-        A = self._A if self._A is not None else csr_empty(self.n)
-        B = self._B if self._B is not None else csr_empty(self.n)
-        C = self._C if self._C is not None else csr_empty(self.n)
+        if self._dev is None:
+            A = self._A if self._A is not None else csr_empty(self.n)
+            B = self._B if self._B is not None else csr_empty(self.n)
+            C = self._C if self._C is not None else csr_empty(self.n)
+            self._dev = (csr_device(A), csr_device(B), csr_device(C))
+        A, B, C = self._dev
         import jax.numpy as _jnp
 
         return SolveOp(
@@ -140,18 +146,31 @@ class ShiftedFactor:
             wb=self.woodbury,
         )
 
+    def _host_sp(self):
+        """Cached host scipy (A, B, C) — refinement SpMVs never touch the
+        device."""
+        if self._sp is None:
+            self._sp = (
+                self._A.to_scipy(),
+                self._B.to_scipy() if self._B is not None else None,
+                self._C.to_scipy(),
+            )
+        return self._sp
+
     def _apply_P_np(self, x: np.ndarray) -> np.ndarray:
-        out = np.asarray(spmv(self._A, zarray(x)).to_numpy())
-        if self._B is not None and self._cb != 0:
-            out = out + self._cb * np.asarray(spmv(self._B, zarray(x)).to_numpy())
-        out = out + self._cc * np.asarray(spmv(self._C, zarray(x)).to_numpy())
+        Asp, Bsp, Csp = self._host_sp()
+        out = Asp @ x
+        if Bsp is not None and self._cb != 0:
+            out = out + self._cb * (Bsp @ x)
+        out = out + self._cc * (Csp @ x)
         return out
 
     def _apply_P_H_np(self, x: np.ndarray) -> np.ndarray:
-        out = np.asarray(spmv_H(self._A, zarray(x)).to_numpy())
-        if self._B is not None and self._cb != 0:
-            out = out + np.conj(self._cb) * np.asarray(spmv_H(self._B, zarray(x)).to_numpy())
-        out = out + np.conj(self._cc) * np.asarray(spmv_H(self._C, zarray(x)).to_numpy())
+        Asp, Bsp, Csp = self._host_sp()
+        out = Asp.conj().T @ x
+        if Bsp is not None and self._cb != 0:
+            out = out + np.conj(self._cb) * (Bsp.conj().T @ x)
+        out = out + np.conj(self._cc) * (Csp.conj().T @ x)
         return out
 
     # -- plain P solves (setup path; refinement recovers f64 accuracy) -----
@@ -233,11 +252,6 @@ class ShiftedFactor:
             return self.set_scale(0)
         return self._wb
 
-    def lowrank_state(self):
-        """(W, R, G) numpy state for the fused fixed-point loop, which
-        rebuilds the capacitance on device each outer iteration."""
-        return self._W_np, self._R_np, self._G
-
 
 class SparseShiftedFactor:
     """Sparse-direct tier of the shifted-operator factorization (host LU via
@@ -305,8 +319,6 @@ class SparseShiftedFactor:
             y = y + self._Wh @ (self._caph @ (np.conj(self._L).T @ y))
         return y
 
-    def lowrank_state(self):
-        return self._W, self._R, self._G
 
 
 class BandedShiftedFactor:
@@ -380,18 +392,39 @@ class BandedShiftedFactor:
             self._cb = self._cc = 0.0
         self._L = self._R = self._W = self._Wh = None
         self._G = self._Gh = self._cap = self._caph = None
+        self._dev = None  # cached device copies of (A, B, C) for solve_op
+        self._ozP = None  # cached Ozaki-packed P for MXU refinement matvecs
 
     def solve_op(self):
-        """Device pytree for the jitted banded Arnoldi chunks."""
+        """Device pytree for the jitted banded Arnoldi chunks.  The CSR
+        operands cross to the device ONCE (cached across calls)."""
         import jax.numpy as _jnp
 
         from .arnoldi import BandedSolveOp
 
-        A = self._tA if self._tA is not None else None
-        if A is None:
+        if self._tA is None:
             raise ValueError("banded factor built without CSR terms")
-        B = self._tB if self._tB is not None else csr_empty(self.n)
-        C = self._tC
+        if self._dev is None:
+            self._dev = (
+                csr_device(self._tA),
+                csr_device(self._tB if self._tB is not None
+                           else csr_empty(self.n)),
+                csr_device(self._tC),
+            )
+        A, B, C = self._dev
+        import jax as _jax
+
+        if (self._ozP is None and _jax.default_backend() != "cpu"
+                and os.environ.get("HELMHOLTZ_X_TPU_OZAKI", "1")
+                not in ("0", "false", "no")):
+            from ..ops.ozaki import pack_ozaki_band_device
+            from ..utils.metrics import timed as _timed
+
+            with _timed("ozaki_pack", n=self.n, nb=int(self.fac.nb)):
+                self._ozP, _, _, _ = pack_ozaki_band_device(
+                    self._P, np.asarray(self._perm), nb=int(self.fac.nb),
+                    K=6, nbkp=int(self.fac.band_re.shape[0]),
+                    W=int(self.fac.W))
         k = self._L.shape[1] if self._L is not None else 0
         if k and self._cap is not None:
             wb = Woodbury(
@@ -411,7 +444,7 @@ class BandedShiftedFactor:
             fac=self.fac, A=A, B=B, C=C,
             cb=Z(_jnp.asarray(complex(self._cb).real), _jnp.asarray(complex(self._cb).imag)),
             cc=Z(_jnp.asarray(complex(self._cc).real), _jnp.asarray(complex(self._cc).imag)),
-            wb=wb,
+            wb=wb, ozP=self._ozP,
         )
 
     def _raw_solve(self, b: np.ndarray, hermitian: bool) -> np.ndarray:
@@ -488,7 +521,6 @@ class BandedShiftedFactor:
     set_scale = SparseShiftedFactor.set_scale
     solve_wb = SparseShiftedFactor.solve_wb
     solve_wb_H = SparseShiftedFactor.solve_wb_H
-    lowrank_state = SparseShiftedFactor.lowrank_state
 
 
 # Problems with more dofs than this use the sparse tier (dense QR of the real
@@ -498,6 +530,12 @@ DENSE_DOF_LIMIT = int(__import__("os").environ.get("HELMHOLTZ_X_TPU_DENSE_LIMIT"
 # 'auto': banded device LU on accelerators, host LU on the CPU test backend
 # (the banded factor is MXU-shaped; on CPU SuperLU is the faster oracle).
 SPARSE_TIER = __import__("os").environ.get("HELMHOLTZ_X_TPU_SPARSE_TIER", "auto")
+
+# Below this many dofs a remote accelerator loses to the host sparse-direct
+# tier on round-trip latency alone (measured: the 3k-dof Rijke tube runs
+# ~1 s via host SuperLU vs 16.8 s through the tunnel), so 'auto' keeps
+# small problems entirely on host.
+HOST_SMALL_N = int(__import__("os").environ.get("HELMHOLTZ_X_TPU_HOST_SMALL_N", 6000))
 
 
 def _union_bandwidth(terms, n: int) -> int:
@@ -539,16 +577,31 @@ def build_shifted_factor(terms, n: int):
             # CPU (test backend): LAPACK dense / SuperLU are the fast oracles;
             # the banded device code is MXU-shaped and slow here.
             tier = "dense" if n <= DENSE_DOF_LIMIT else "host"
+        elif n <= HOST_SMALL_N:
+            # small problems: remote round-trip latency dominates; keep the
+            # whole solve on host
+            tier = "host"
         else:
             bw = _union_bandwidth(terms, n)
             if bw <= max(n // 6, 8) or n > DENSE_DOF_LIMIT:
                 tier = "banded"
             else:
                 tier = "dense"
+        if tier in ("banded", "dense"):
+            # degraded-mode fallback (SURVEY §5): a remote device whose
+            # session bind is still pending would stall the solve for
+            # minutes — degrade to the host sparse-direct tier instead.
+            from ..utils.warmup import cold_start_policy, wait_device
+
+            if not wait_device(cold_start_policy()):
+                info("! device session not ready; degrading to the host "
+                     "sparse-direct tier for this factorization.")
+                tier = "host"
     elif n <= DENSE_DOF_LIMIT and tier not in ("banded", "host"):
         tier = "dense"
     from ..utils.metrics import timed
 
+    build_shifted_factor.last_tier = tier  # breadcrumb for bench/diagnostics
     with timed("factor", n=n, tier=tier):
         if tier == "dense":
             return ShiftedFactor.from_terms(terms, n)

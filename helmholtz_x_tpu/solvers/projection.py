@@ -47,6 +47,7 @@ import numpy as np
 from functools import partial
 
 from ..ops.cplx import Z
+from ..ops.csr import csr_device
 from ..utils.logging import info
 from .arnoldi import (EigenResult, EpsOp, PepOp, _arnoldi_chunk,
                       _arnoldi_expand, _block_arnoldi_expand, _block_orth,
@@ -263,11 +264,11 @@ def _device_block_basis(factor, pencil, sigma: complex, mode: str,
     sv = factor.solve_op()
     sig = Z(jnp.asarray(complex(sigma).real), jnp.asarray(complex(sigma).imag))
     if mode in ("eps", "epsb"):
-        op = EpsOp(sv=sv, C=pencil[0])
+        op = EpsOp(sv=sv, C=csr_device(pencil[0]))
         n_op = pencil[0].n
     else:
         B, C = pencil
-        op = PepOp(sv=sv, B=B, C=C, sig=sig)
+        op = PepOp(sv=sv, B=csr_device(B), C=csr_device(C), sig=sig)
         n_op = 2 * C.n
     k = L.shape[1]
     depth = max(2, -(-m // k))
@@ -299,11 +300,11 @@ def _device_basis(factor, pencil, sigma: complex, mode: str, L0: np.ndarray,
     sv = factor.solve_op()
     sig = Z(jnp.asarray(complex(sigma).real), jnp.asarray(complex(sigma).imag))
     if mode in ("eps", "epsb"):
-        op = EpsOp(sv=sv, C=pencil[0])
+        op = EpsOp(sv=sv, C=csr_device(pencil[0]))
         n_op = pencil[0].n
     else:
         B, C = pencil
-        op = PepOp(sv=sv, B=B, C=C, sig=sig)
+        op = PepOp(sv=sv, B=csr_device(B), C=csr_device(C), sig=sig)
         n_op = 2 * C.n
     Lz = Z(jnp.asarray(np.ascontiguousarray(L0.real)),
            jnp.asarray(np.ascontiguousarray(L0.imag)))
@@ -404,9 +405,11 @@ def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
         halves = np.concatenate([halves, W.T], axis=0)
         return _orth_rows(halves)
 
-    W = np.stack([_solve_np(factor, L[:, j]) for j in range(k)], axis=1)
+    W = np.asarray(factor.solve_P(L)) if backend == "host" \
+        else np.stack([_solve_np(factor, L[:, j]) for j in range(k)], axis=1)
 
-    # host tier: host-driven block Arnoldi
+    # host tier: host-driven block Arnoldi, one multi-RHS sparse-LU solve
+    # per block step (SuperLU accepts matrix right-hand sides)
     depth = max(2, -(-m // max(k, 1)))
     if eps_kind:
         Csp = C.to_scipy()
@@ -414,7 +417,12 @@ def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
         def apply_fn(v):
             return _solve_np(factor, Csp @ v)
 
-        return _host_block_arnoldi(apply_fn, W, depth)
+        def apply_block(rows):  # (j, n) -> (j, n)
+            return np.asarray(factor.solve_P(Csp @ rows.T)).T
+
+        return _host_block_arnoldi(apply_fn, W, depth,
+                                   block_apply=apply_block
+                                   if backend == "host" else None)
 
     Bsp = B.to_scipy()
     Csp = C.to_scipy()
@@ -426,8 +434,17 @@ def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
         z1 = -_solve_np(factor, rhs)
         return np.concatenate([z1, v1 + sigma * z1])
 
+    def apply2n_block(rows):  # (j, 2n) -> (j, 2n)
+        V1 = rows[:, :n].T
+        V2 = rows[:, n:].T
+        rhs = Bsp @ V1 + Csp @ (V2 + sigma * V1)
+        Z1 = -np.asarray(factor.solve_P(rhs))
+        return np.concatenate([Z1, V1 + sigma * Z1], axis=0).T
+
     start2n = np.concatenate([W, sigma * W], axis=0)
-    rows2n = _host_block_arnoldi(apply2n, start2n, depth)
+    rows2n = _host_block_arnoldi(apply2n, start2n, depth,
+                                 block_apply=apply2n_block
+                                 if backend == "host" else None)
     halves = np.concatenate([rows2n[:, :n], rows2n[:, n:]], axis=0)
     halves = np.concatenate([halves, W.T], axis=0)
     return _orth_rows(halves)
@@ -552,6 +569,49 @@ def fpi_on_projection(proj: ProjectedPencil, D, target: complex, nev: int,
     return lam, Y, kk + 1, sc
 
 
+def _resolvent_eigenpair(A, B, C, L, R, sc: complex, lam_i: complex,
+                         eps_kind: bool):
+    """EXACT eigenvector recovery at the converged eigenvalue: for the
+    rank-k flame the pencil  (Q(lam) - sc L R^T) x = 0  gives
+    x = sc * Q(lam)^{-1} L (R^T x),  so  alpha = R^T x  solves the k x k
+    eigenproblem  sc * (R^T Q(lam)^{-1} L) alpha = alpha  and
+    x = Q(lam)^{-1} L alpha.  One factorization of the passive operator AT
+    the converged eigenvalue + one k-column solve replaces the
+    inverse-iteration polish (which cost ~100 host-driven remote solves on
+    the 3D annulus); the residual floor is the refined solve accuracy
+    (~1e-10), not the Krylov subspace's saturation (~1e-6).
+
+    Returns (x, factor2) where factor2 is the Q(lam) factorization (reused
+    by the caller's polish sweeps: inverse iteration with a factor AT the
+    converged eigenvalue contracts in one sweep, unlike the distant
+    sigma-factor), or (None, None) when sc == 0 (no flame: the pencil is
+    linear and the projected vector is already optimal for the subspace)."""
+    from .linsolve import ShiftedFactor, build_shifted_factor
+
+    if sc == 0:
+        return None, None
+    lam = complex(lam_i)
+    if eps_kind:
+        terms = [(1.0, A), (lam, C)]
+    else:
+        terms = [(1.0, A), (lam, B), (lam * lam, C)]
+    factor2 = build_shifted_factor(terms, A.n)
+
+    if isinstance(factor2, ShiftedFactor):
+        W2 = np.stack([_solve_np(factor2, L[:, j]) for j in range(L.shape[1])],
+                      axis=1)
+    else:
+        W2 = np.asarray(factor2.solve_P(L))
+    M = sc * (R.T @ W2)  # k x k
+    mu, av = np.linalg.eig(M)
+    j = int(np.argmin(np.abs(mu - 1.0)))
+    x = W2 @ av[:, j]
+    nrm = np.linalg.norm(x)
+    if not np.isfinite(nrm) or nrm == 0:
+        return None, factor2
+    return x / nrm, factor2
+
+
 def _polish_eigenpair(solve_block, A, B, C, L, R, sc: complex, sigma: complex,
                       lam_i: complex, x: np.ndarray, eps_kind: bool,
                       gate: float, rel: float, maxpolish: int = 3):
@@ -585,7 +645,9 @@ def _polish_eigenpair(solve_block, A, B, C, L, R, sc: complex, sigma: complex,
         if not np.isfinite(nrm) or nrm == 0:
             break
         x = y / nrm
-        lr_x = L @ (R.T @ x) if sc != 0 else 0.0
+        # sc == 0 (zero flame scale): the low-rank term vanishes entirely —
+        # keep lr_x a VECTOR so the vdot below stays well-defined
+        lr_x = L @ (R.T @ x) if sc != 0 else np.zeros_like(x)
         if eps_kind:
             lam = -(np.vdot(x, Asp @ x) - sc * np.vdot(x, lr_x)) \
                 / np.vdot(x, Csp @ x)
@@ -614,19 +676,62 @@ def finalize_projected(proj: ProjectedPencil, A, B, C, L, R, lam, Y, iters,
     vecs /= np.linalg.norm(vecs, axis=0, keepdims=True)
 
     lam = np.array(lam, dtype=np.complex128)
-    rel = true_rel_residual(A, B, C, L, R, sc, lam[i], vecs[:, i])
+    # per-pair exact-operator residuals; only pair i gates the solve (and is
+    # the only one a polish improves) but each reported residual must belong
+    # to its own eigenpair
+    residuals = np.array([true_rel_residual(A, B, C, L, R, sc, lam[j],
+                                            vecs[:, j])
+                          for j in range(nkeep)])
+    rel = residuals[i]
     if gate is None:
         gate = float(os.environ.get("HELMHOLTZ_X_TPU_PROJ_GATE", "1e-8"))
-    if np.isfinite(rel) and rel > gate and solve_block is not None:
+    if np.isfinite(rel) and rel > gate and sc != 0:
+        # Inverse-iteration + Rayleigh polish with a factorization AT the
+        # converged eigenvalue: each sweep contracts by
+        # ~|lam_true - lam_FPI| / gap (~1e-7 here), so ONE sweep reaches the
+        # gate.  (The sigma-factor polish of earlier rounds contracted by
+        # |lam - sigma| / gap and needed ~100 host-driven remote solves on
+        # the 3D annulus.)
+        from .linsolve import ShiftedFactor, build_shifted_factor
+
         info(f"- projection residual {rel:.2e} (m={proj.V.shape[0]}); "
-             "polishing with inverse iteration.")
+             "polishing with inverse iteration at the converged eigenvalue.")
         Lm = np.asarray(L, dtype=np.complex128).reshape(A.n, -1)
         Rm = np.asarray(R, dtype=np.complex128).reshape(A.n, -1)
+        lam0 = complex(lam[i])
+        if eps_kind:
+            terms2 = [(1.0, A), (lam0, C)]
+        else:
+            terms2 = [(1.0, A), (lam0, B), (lam0 * lam0, C)]
+        factor2 = build_shifted_factor(terms2, A.n)
+
+        def _solve2(Bm):
+            if isinstance(factor2, ShiftedFactor):
+                return np.stack([_solve_np(factor2, Bm[:, j])
+                                 for j in range(Bm.shape[1])], axis=1)
+            return np.asarray(factor2.solve_P(Bm))
+
         lam_p, x_p, rel = _polish_eigenpair(
-            solve_block, A, B, C, Lm, Rm, sc, sigma, complex(lam[i]),
+            _solve2, A, B, C, Lm, Rm, sc, lam0, lam0,
             vecs[:, i].copy(), eps_kind, gate, rel)
         lam[i] = lam_p
         vecs[:, i] = x_p
+        residuals[i] = rel
+        if np.isfinite(rel) and rel > gate:
+            # last resort: exact rank-k resolvent recovery at the (polished)
+            # eigenvalue — x = Q(lam)^{-1} L alpha with alpha from the k x k
+            # fixed point (see _resolvent_eigenpair)
+            info(f"- residual {rel:.2e} after polish; recovering the "
+                 "eigenvector by exact resolvent.")
+            x_r, _ = _resolvent_eigenpair(A, B, C, Lm, Rm, sc,
+                                          complex(lam[i]), eps_kind)
+            if x_r is not None:
+                rel_r = true_rel_residual(A, B, C, L, R, sc, complex(lam[i]),
+                                          x_r)
+                if np.isfinite(rel_r) and rel_r < rel:
+                    vecs[:, i] = x_r
+                    rel = rel_r
+                    residuals[i] = rel_r
     if not np.isfinite(rel) or rel > gate:
         info(f"! projection residual {rel:.2e} too large (m={proj.V.shape[0]}); "
              "falling back to the exact path.")
@@ -634,7 +739,7 @@ def finalize_projected(proj: ProjectedPencil, A, B, C, L, R, lam, Y, iters,
 
     res = EigenResult(kind="eps" if eps_kind else "pep", sigma=sigma,
                       eigenvalues=lam[:nkeep], vectors=vecs,
-                      iterations=iters, residuals=np.full(nkeep, rel))
+                      iterations=iters, residuals=residuals)
     if print_results:
         from .arnoldi import _print_results
 
@@ -642,7 +747,14 @@ def finalize_projected(proj: ProjectedPencil, A, B, C, L, R, lam, Y, iters,
     return res
 
 
-def default_m(k: int, nev: int) -> int:
+def default_m(k: int, nev: int, backend: str = "dense") -> int:
+    """Target Krylov dimension.  The host tier pays one sequential sparse-LU
+    solve per basis column, so it runs a shallower space and leans on the
+    (cheap) converged-eigenvalue polish in finalize; the device tiers get
+    multi-RHS solves nearly for free and go deeper."""
+    if backend == "host":
+        return int(os.environ.get("HELMHOLTZ_X_TPU_PROJ_M",
+                                  max(40, 4 * k, 12 * nev)))
     return int(os.environ.get("HELMHOLTZ_X_TPU_PROJ_M",
                               max(40, 8 * k, 16 * nev)))
 
@@ -663,7 +775,7 @@ def projected_fpi(factor, operators, D, target: complex, nev: int, i: int,
     k = np.asarray(L).reshape(A.n, -1).shape[1]
     sigma = complex(target) if not eps_kind else complex(target) ** 2
     if m is None:
-        m = default_m(k, nev)
+        m = default_m(k, nev, getattr(factor, "backend", "dense"))
     m = min(m, A.n)
 
     from ..utils.metrics import timed
