@@ -17,6 +17,7 @@ import os
 import numpy as np
 
 from ..ops.csr import CSR
+from ..utils.debug import check_finite
 from ..utils.logging import info
 from .arnoldi import EigenResult, eps_solver, pep_solver
 from .linsolve import build_shifted_factor
@@ -114,6 +115,7 @@ def fixed_point_iteration_eps(operators, D, target: complex, nev: int = 2,
             alpha[k] = 1.0 / (1.0 - (f[k] - f[k - 1]) / (omega[k] - omega[k - 1]))
         omega[k + 1] = alpha[k] * f[k] + (1 - alpha[k]) * omega[k]
         domega = omega[k + 1] - omega[k]
+        check_finite(f"FPI(eps) iterate {k + 1}", omega[k + 1])
         info("+ omega = {}  {}j,  |domega| = {:.2e}\n".format(
             s.format(omega[k + 1].real), s.format(omega[k + 1].imag), abs(domega)))
     return E
@@ -170,6 +172,7 @@ def fixed_point_iteration_pep(operators, D, target: complex, nev: int = 2,
             alpha[k] = 1.0 / (1.0 - (f[k] - f[k - 1]) / (omega[k] - omega[k - 1]))
         omega[k + 1] = alpha[k] * f[k] + (1 - alpha[k]) * omega[k]
         domega = omega[k + 1] - omega[k]
+        check_finite(f"FPI(pep) iterate {k + 1}", omega[k + 1])
         info("+ omega = {}  {}j,  |domega| = {:.2e}\n".format(
             s.format(omega[k + 1].real), s.format(omega[k + 1].imag), abs(domega)))
     return E

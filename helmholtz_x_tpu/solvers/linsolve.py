@@ -464,6 +464,9 @@ class BandedShiftedFactor:
         22 on the 1D Rijke shifted tridiagonal), so a bad probe refactors in
         f64 / adds sweeps."""
         self._probed = True
+        from ..utils.debug import check_finite
+
+        check_finite("banded raw solve (stability probe)", y_raw)
         rel = float(np.linalg.norm(b - self._P @ y_raw) / np.linalg.norm(b))
         if not np.isfinite(rel) or rel > 0.3:
             from ..ops.banded import factor_banded

@@ -785,6 +785,9 @@ def projected_fpi(factor, operators, D, target: complex, nev: int, i: int,
         V = build_basis(factor, A, B, C, L, R, sigma, eps_kind, m)
     if V is None:
         return None
+    from ..utils.debug import check_finite
+
+    check_finite("resolvent-Krylov basis", V)
     with timed("proj_project", m=V.shape[0]):
         proj = project(V, A, B, C, L, R)
     with timed("proj_fpi"):

@@ -110,3 +110,56 @@ def test_banded_factor_multirhs_solve_p():
     cols = np.stack([f.solve_P(B[:, j]) for j in range(3)], axis=1)
     assert np.linalg.norm(X - cols) / np.linalg.norm(cols) < 1e-12
     assert np.linalg.norm(P @ X - B) / np.linalg.norm(B) < 1e-10
+
+
+def test_ozaki_refinement_matches_csr_refinement():
+    """Production accuracy gate for the Ozaki MXU refinement matvecs
+    (solvers/arnoldi._apply_P_ozaki): a banded solve-op whose ozP is the
+    Ozaki-packed exact operator must refine to the same answer as the CSR
+    gather path, and the packed SpMM itself must agree with the exact
+    operator product at the documented ~1e-9 relative floor.  (On the CPU
+    test backend the XLA reference kernel runs; the Pallas kernel computes
+    the identical chunk algebra on TPU.)"""
+    import jax.numpy as jnp
+
+    from helmholtz_x_tpu.ops.cplx import Z
+    from helmholtz_x_tpu.ops.ozaki import ozaki_spmm, pack_ozaki_band_device
+    from helmholtz_x_tpu.solvers.arnoldi import _apply_P, _solve_wbb
+
+    rng = np.random.default_rng(7)
+    n, k = 700, 5
+    A = _random_banded(n, rng)
+    f = BandedShiftedFactor(A, nb=64)
+    # attach CSR terms manually (BandedShiftedFactor built without terms)
+    from helmholtz_x_tpu.ops.csr import csr_device, csr_empty, csr_from_scipy
+
+    f._tA = csr_from_scipy(A)
+    f._tB, f._cb = None, 0.0
+    f._tC, f._cc = csr_from_scipy(sp.identity(n) * 0), 0.0
+    sv = f.solve_op()
+    assert sv.ozP is None  # CPU backend: no device pack by default
+
+    band, W, nbk, nbkp = pack_ozaki_band_device(
+        A, np.asarray(f._perm), nb=int(f.fac.nb), K=6,
+        nbkp=int(f.fac.band_re.shape[0]), W=int(f.fac.W))
+    sv_oz = sv._replace(ozP=band)
+
+    X = rng.standard_normal((n, k)) + 1j * rng.standard_normal((n, k))
+    xz = Z(jnp.asarray(X.real), jnp.asarray(X.imag))
+    # 1) the packed SpMM reproduces the exact operator product
+    y_oz = _apply_P(sv_oz, xz)
+    y_ex = np.asarray(A @ X)
+    got = np.asarray(y_oz.re) + 1j * np.asarray(y_oz.im)
+    rel = np.linalg.norm(got - y_ex) / np.linalg.norm(y_ex)
+    assert rel < 1e-8, rel
+
+    # 2) refined solves through either matvec agree with scipy
+    b = rng.standard_normal((n, k)) + 1j * rng.standard_normal((n, k))
+    bz = Z(jnp.asarray(b.real), jnp.asarray(b.imag))
+    x_csr = _solve_wbb(sv, bz, 3)
+    x_oz = _solve_wbb(sv_oz, bz, 3)
+    xs = np.linalg.inv(A.toarray()) @ b
+    for got_z in (x_csr, x_oz):
+        g = np.asarray(got_z.re) + 1j * np.asarray(got_z.im)
+        assert np.linalg.norm(A @ g - b) / np.linalg.norm(b) < 1e-9
+        assert np.linalg.norm(g - xs) / np.linalg.norm(xs) < 1e-8

@@ -51,3 +51,27 @@ fixed_point_iteration(m, D, 200 * 2 * np.pi, nev=2, i=0)
     assert fpi["wall_s"] > 0
     factor = [e for e in events if e["event"] == "factor"][0]
     assert factor["tier"] in ("dense", "banded", "host")
+
+
+def test_debug_nan_check(monkeypatch):
+    """HELMHOLTZ_X_TPU_DEBUG=1 turns check_finite into a labelled raise; off
+    by default it is a no-op."""
+    import importlib
+
+    import numpy as np
+    import pytest
+
+    import helmholtz_x_tpu.utils.debug as dbg
+
+    monkeypatch.setattr(dbg, "_enabled", False)
+    dbg.check_finite("noop", np.array([np.nan]))  # no raise when disabled
+
+    monkeypatch.setattr(dbg, "_enabled", True)
+    monkeypatch.setattr(dbg, "_configured", True)  # skip jax config flip
+    dbg.check_finite("fine", np.ones(3), None, 1.0 + 2.0j)
+    from helmholtz_x_tpu.ops.cplx import Z
+
+    with pytest.raises(FloatingPointError, match="bad-z"):
+        dbg.check_finite("bad-z", Z(np.ones(2), np.array([1.0, np.inf])))
+    with pytest.raises(FloatingPointError, match="bad-arr"):
+        dbg.check_finite("bad-arr", np.array([np.nan]))
