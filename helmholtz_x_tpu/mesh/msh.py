@@ -1,12 +1,15 @@
-"""Gmsh `.msh` (format 4.1 ASCII) reader.
+"""Gmsh `.msh` (format 4.1, ASCII and binary) reader.
 
 The reference converts .msh to XDMF via meshio before loading
 (reference: helmholtz_x/io_utils.py:98-136); this framework reads the
-committed .msh files directly — geometry stays an offline gmsh step, but no
+committed .msh files directly — geometry stays an offline step (see
+mesh/generate.py for the built-in parametric generators), but no
 meshio/gmsh python dependency is needed to consume the meshes.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 
@@ -35,17 +38,108 @@ def _read_sections(path: str):
     return sections
 
 
+class _BinCursor:
+    """Sequential reader over one binary section's payload bytes."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.off = 0
+
+    def ints(self, n):
+        out = np.frombuffer(self.buf, np.int32, n, self.off)
+        self.off += 4 * n
+        return out
+
+    def sizes(self, n):
+        out = np.frombuffer(self.buf, np.uint64, n, self.off)
+        self.off += 8 * n
+        return out.astype(np.int64)
+
+    def doubles(self, n):
+        out = np.frombuffer(self.buf, np.float64, n, self.off)
+        self.off += 8 * n
+        return out
+
+
+def _binary_section(raw: bytes, name: str) -> bytes:
+    start = raw.index(b"$" + name.encode())
+    start = raw.index(b"\n", start) + 1
+    end = raw.index(b"$End" + name.encode(), start)
+    return raw[start:end]
+
+
+def _parse_binary(path: str):
+    """Binary 4.1: sections delimited by ASCII $Name/$EndName lines, block
+    headers as int32, node/element tags as size_t (8 bytes per the header),
+    coordinates as doubles."""
+    with open(path, "rb") as f:
+        raw = f.read()
+
+    # $Entities: physical tags per (dim, entity tag)
+    phys = {}
+    c = _BinCursor(_binary_section(raw, "Entities"))
+    counts = c.sizes(4)
+    for d, cnt in enumerate(counts):
+        for _ in range(int(cnt)):
+            tag = int(c.ints(1)[0])
+            c.doubles(3 if d == 0 else 6)
+            nphys = int(c.sizes(1)[0])
+            ptags = c.ints(nphys)
+            if d > 0:
+                nb = int(c.sizes(1)[0])
+                c.ints(nb)
+            phys[(d, tag)] = int(ptags[0]) if nphys else -1
+
+    c = _BinCursor(_binary_section(raw, "Nodes"))
+    nblocks, nnodes, _min_tag, max_tag = (int(v) for v in c.sizes(4))
+    coords = np.zeros((max_tag + 1, 3))
+    for _ in range(nblocks):
+        _edim, _etag, parametric = (int(v) for v in c.ints(3))
+        num = int(c.sizes(1)[0])
+        tags = c.sizes(num)
+        xyz = c.doubles(3 * num).reshape(num, 3)
+        if parametric:
+            raise NotImplementedError("parametric nodes")
+        coords[tags] = xyz
+
+    c = _BinCursor(_binary_section(raw, "Elements"))
+    nblocks = int(c.sizes(4)[0])
+    cells_by_dim = {0: [], 1: [], 2: [], 3: []}
+    tags_by_dim = {0: [], 1: [], 2: [], 3: []}
+    for _ in range(nblocks):
+        edim, etag, etype = (int(v) for v in c.ints(3))
+        num = int(c.sizes(1)[0])
+        if etype not in _ELEM:
+            # skip unknown element payload: gmsh reference table needed for
+            # node counts; only the P1 simplex types appear in our meshes
+            raise NotImplementedError(f"element type {etype}")
+        d, nn = _ELEM[etype]
+        data = c.sizes(num * (1 + nn)).reshape(num, 1 + nn)
+        ptag = phys.get((edim, etag), -1)
+        cells_by_dim[d].extend(data[:, 1:].tolist())
+        tags_by_dim[d].extend([ptag] * num)
+    return phys, coords, max_tag, cells_by_dim, tags_by_dim
+
+
 def read_msh(path: str, dim: int | None = None) -> Mesh:
-    sec = _read_sections(path)
-    fmt = sec["MeshFormat"][0].split()
-    if not fmt[0].startswith("4") or (len(fmt) > 1 and fmt[1] != "0"):
-        # Every committed reference mesh is 4.1 ASCII (file-type 0); binary
-        # .msh is out of scope — convert offline with
-        #   gmsh in.msh -save -format msh41 -o out.msh      (ASCII default)
-        # or meshio: `meshio convert in.msh out.msh --ascii`.
+    with open(path, "rb") as f:
+        head = f.read(128).decode("latin1").splitlines()
+    fmt = head[1].split() if len(head) > 1 else []
+    if not fmt or not fmt[0].startswith("4"):
         raise NotImplementedError(
-            f"msh format {' '.join(fmt[:2])} (only 4.x ASCII; convert binary "
-            "files offline: gmsh <in> -save -format msh41 -o <out>)")
+            f"msh format {' '.join(fmt[:2])} (4.x only; convert offline: "
+            "gmsh <in> -save -format msh41 -o <out>)")
+    if fmt[1] == "1":  # binary file-type
+        if int(fmt[2]) != 8:
+            raise NotImplementedError("binary .msh with size_t != 8 bytes")
+        one = struct.unpack("<i", open(path, "rb").read().split(
+            b"\n", 2)[2][:4])[0]
+        if one != 1:
+            raise NotImplementedError("big-endian binary .msh")
+        parsed = _parse_binary(path)
+        return _build_mesh(*parsed, dim=dim)
+
+    sec = _read_sections(path)
 
     # $Entities: physical tags per (dim, entity tag)
     phys = {}
@@ -105,6 +199,12 @@ def read_msh(path: str, dim: int | None = None) -> Mesh:
             tags_by_dim[d].append(ptag)
         i += num
 
+    return _build_mesh(phys, coords, max_tag, cells_by_dim, tags_by_dim,
+                       dim=dim)
+
+
+def _build_mesh(phys, coords, max_tag, cells_by_dim, tags_by_dim,
+                dim: int | None = None) -> Mesh:
     if dim is None:
         dim = max(d for d in (3, 2, 1) if cells_by_dim[d])
     cells_raw = np.asarray(cells_by_dim[dim], dtype=np.int64)
@@ -115,8 +215,6 @@ def read_msh(path: str, dim: int | None = None) -> Mesh:
     used = np.unique(np.concatenate([cells_raw.ravel(), facets_raw.ravel()]))
     remap = -np.ones(max_tag + 1, dtype=np.int64)
     remap[used] = np.arange(len(used))
-    gdim = dim if dim >= 2 else 1
-    pts = coords[used][:, :max(gdim, 2) if dim == 2 else (3 if dim == 3 else 1)]
     if dim == 2:
         pts = coords[used][:, :2]
     elif dim == 1:
