@@ -685,6 +685,7 @@ def finalize_projected(proj: ProjectedPencil, A, B, C, L, R, lam, Y, iters,
     rel = residuals[i]
     if gate is None:
         gate = float(os.environ.get("HELMHOLTZ_X_TPU_PROJ_GATE", "1e-8"))
+    lam_fpi = complex(lam[i])  # the omega that froze sc = s(omega)
     if np.isfinite(rel) and rel > gate and sc != 0:
         # Inverse-iteration + Rayleigh polish with a factorization AT the
         # converged eigenvalue: each sweep contracts by
@@ -734,6 +735,16 @@ def finalize_projected(proj: ProjectedPencil, A, B, C, L, R, lam, Y, iters,
                     residuals[i] = rel_r
     if not np.isfinite(rel) or rel > gate:
         info(f"! projection residual {rel:.2e} too large (m={proj.V.shape[0]}); "
+             "falling back to the exact path.")
+        return None
+    # Nonlinear consistency: the residual gate certifies the FROZEN-sc
+    # pencil only.  If the polish moved the eigenvalue away from the omega
+    # that froze sc (degenerate subspace -> the projected FPI converged to
+    # a spurious omega), the pair is self-consistent for the WRONG s(omega)
+    # - reject and let the caller run the exact path.
+    if abs(complex(lam[i]) - lam_fpi) > 1e-6 * abs(lam_fpi) and sc != 0:
+        info(f"! polished eigenvalue moved {abs(complex(lam[i]) - lam_fpi):.2e}"
+             f" from the FPI omega (sc frozen there); "
              "falling back to the exact path.")
         return None
 
