@@ -220,7 +220,8 @@ def dist_projected_fpi(operators, D, target: complex, mesh: Mesh,
 
     proj = project(V, A, B, C, L, R)
     lam, Y, iters, sc = fpi_on_projection(proj, D, target, nev, i, tol,
-                                          maxiter, problem_type, eps_kind)
+                                          maxiter, problem_type, eps_kind,
+                                          ops=(A, B, C, L, R))
     return finalize_projected(proj, A, B, C, L, R, lam, Y, iters, sc, sigma,
                               nev, i, eps_kind, print_results,
                               solve_block=solver.solve_block)

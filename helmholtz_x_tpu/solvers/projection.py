@@ -515,12 +515,41 @@ def true_rel_residual(A, B, C, L, R, s: complex, lam: complex,
 # the projected fixed-point iteration
 
 
+def _start_index(proj, ops, lam, Y, i: int, max_check: int = 8) -> int:
+    """Index of the i-th GENUINE passive mode in the target-ordered
+    projected spectrum.  The resolvent-Krylov basis targets the ACTIVE
+    modes, so the projected passive solve can surface projection artifacts
+    closer to the target than any true mode; starting the FPI there costs
+    extra swinging outer iterations (the reference starts from the full
+    passive operator's eigenvalue and converges smoothly).  A candidate is
+    accepted when its full-space passive residual (a few host SpMVs, once
+    per solve) is small."""
+    if ops is None:
+        return i
+    A, B, C, L, R = ops
+    good = 0
+    for j in range(min(len(lam), max_check)):
+        x = proj.V.T @ Y[:, j]
+        nrm = np.linalg.norm(x)
+        if nrm == 0 or not np.isfinite(nrm):
+            continue
+        rel = true_rel_residual(A, B, C, L, R, 0.0, complex(lam[j]), x / nrm)
+        if np.isfinite(rel) and rel < 3e-2:
+            if good == i:
+                return j
+            good += 1
+    return i
+
+
 def fpi_on_projection(proj: ProjectedPencil, D, target: complex, nev: int,
                       i: int, tol: float, maxiter: int, problem_type: str,
-                      eps_kind: bool):
+                      eps_kind: bool, ops=None):
     """The reference's Aitken-relaxed FPI on an already-projected pencil.
     Returns (lam, Y, iterations) — eigenvalues/vectors of the projected
-    problem at the converged omega, ordered by |lambda - target^(2|1)|."""
+    problem at the converged omega, ordered by |lambda - target^(2|1)|.
+    ``ops`` = (A, B, C, L, R) enables full-space residual filtering of the
+    STARTING mode (see _start_index); the loop itself tracks index i like
+    the reference."""
     from .fpi import _flame_scale
 
     tgt = complex(target) if not eps_kind else complex(target) ** 2
@@ -534,10 +563,11 @@ def fpi_on_projection(proj: ProjectedPencil, D, target: complex, nev: int,
 
     s_fmt = _fmt(tol)
     lam, Y = solve_proj(0.0)
+    i0 = _start_index(proj, ops, lam, Y, i)
     omega = np.zeros(maxiter + 1, dtype=complex)
     f = np.zeros(maxiter, dtype=complex)
     alpha = np.zeros(maxiter, dtype=complex)
-    omega[0] = np.sqrt(lam[i]) if eps_kind else lam[i]
+    omega[0] = np.sqrt(lam[i0]) if eps_kind else lam[i0]
     info("+ Starting eigenvalue is found: {}  {}j. ".format(
         s_fmt.format(omega[0].real), s_fmt.format(omega[0].imag)))
     info("-> Iterations are starting.\n ")
@@ -803,7 +833,8 @@ def projected_fpi(factor, operators, D, target: complex, nev: int, i: int,
         proj = project(V, A, B, C, L, R)
     with timed("proj_fpi"):
         lam, Y, iters, sc = fpi_on_projection(proj, D, target, nev, i, tol,
-                                              maxiter, problem_type, eps_kind)
+                                              maxiter, problem_type, eps_kind,
+                                              ops=(A, B, C, L, R))
     def _factor_solve_block(Bm):
         from .linsolve import BandedShiftedFactor, SparseShiftedFactor
 
