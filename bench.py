@@ -268,7 +268,11 @@ def main():
               "falling back to RijkeTube1D", file=sys.stderr, flush=True)
         out = bench_rijke()
     print(json.dumps(out), flush=True)
-    # The warm-up thread may still be blocked inside a remote device call;
+    if device_ready():
+        # clean teardown releases the remote device session (otherwise the
+        # NEXT process waits out a server-side hold of several minutes)
+        sys.exit(0)
+    # The warm-up thread is still blocked inside the remote bind call;
     # interpreter teardown with a live PJRT stream aborts in C++.  The JSON
     # is out — exit without running destructors.
     os._exit(0)

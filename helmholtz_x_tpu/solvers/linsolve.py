@@ -271,6 +271,7 @@ class SparseShiftedFactor:
         from scipy.sparse.linalg import splu
 
         self.n = P_scipy.shape[0]
+        self._P = sp.csr_matrix(P_scipy)  # exact operator (health checks)
         self.lu = splu(sp.csc_matrix(P_scipy))
         self._L = None
         self._R = None

@@ -94,6 +94,60 @@ def _orth_rows(X: np.ndarray, tol: float = 1e-12) -> np.ndarray:
     return vh[:r]
 
 
+@partial(__import__("jax").jit, static_argnames=("n", "include_w"))
+def _fold_gram_impl(V: Z, Wz: Z, n: int, include_w: bool):
+    """Stack the companion-basis halves (and optionally W^T) WITHOUT leaving
+    the device, and form the Hermitian Gram G = H H^H of the stacked rows."""
+    import jax.numpy as jnp
+
+    parts_r = [V.re[:, :n], V.re[:, n:]]
+    parts_i = [V.im[:, :n], V.im[:, n:]]
+    if include_w:
+        parts_r.append(Wz.re.T)
+        parts_i.append(Wz.im.T)
+    Hr = jnp.concatenate(parts_r, axis=0)
+    Hi = jnp.concatenate(parts_i, axis=0)
+    Gre = Hr @ Hr.T + Hi @ Hi.T
+    Gim = Hi @ Hr.T - Hr @ Hi.T
+    return Hr, Hi, Gre, Gim
+
+
+@partial(__import__("jax").jit)
+def _recombine_impl(Hr, Hi, Tr, Ti):
+    """B = T^H H (the orthonormal-row recombination, device matmuls)."""
+    Br = Tr.T @ Hr + Ti.T @ Hi
+    Bi = Tr.T @ Hi - Ti.T @ Hr
+    return Br, Bi
+
+
+def _fold_orth_device(V: Z, W: np.ndarray, n: int, include_w: bool,
+                      tol: float = 1e-14) -> np.ndarray:
+    """Orthonormal rows spanning [V[:, :n]; V[:, n:]; W^T] for a DEVICE
+    companion basis V (rows, 2n): device Gram + host eigh of the small
+    (rows x rows) Gram + device recombination.  Only the Gram (tiny) and
+    the final (r, n) basis cross the device link — the (rows, 2n) companion
+    basis (~150 MB for the 3D cases) never does, and the O(rows^2 n) SVD
+    leaves the (slow) host.  The Gram route halves the attainable rank
+    tolerance vs an SVD (eigenvalues are singular values squared); the
+    subspace feeds an exact-f64 Galerkin projection, so a ~1e-7 singular
+    value cutoff costs nothing observable."""
+    import jax.numpy as jnp
+
+    Wz = Z(jnp.asarray(np.ascontiguousarray(W.real)),
+           jnp.asarray(np.ascontiguousarray(W.imag)))
+    Hr, Hi, Gre, Gim = _fold_gram_impl(V, Wz, n, include_w)
+    G = np.asarray(Gre) + 1j * np.asarray(Gim)
+    lam, U = np.linalg.eigh((G + G.conj().T) / 2)
+    top = lam[-1] if len(lam) else 1.0
+    keep = lam > max(tol * top, 0.0)
+    if not np.any(keep):
+        return np.zeros((0, n), dtype=np.complex128)
+    T = U[:, keep] / np.sqrt(lam[keep])
+    Br, Bi = _recombine_impl(Hr, Hi, jnp.asarray(np.ascontiguousarray(T.real)),
+                             jnp.asarray(np.ascontiguousarray(T.imag)))
+    return np.asarray(Br) + 1j * np.asarray(Bi)
+
+
 def _host_block_arnoldi(apply_fn, start: np.ndarray, depth: int,
                         block_apply=None) -> np.ndarray:
     """Block Arnoldi driven from host: start (n, k) columns, `depth` block
@@ -284,10 +338,8 @@ def _device_block_basis(factor, pencil, sigma: complex, mode: str,
                 break
     else:
         V, W = _block_basis_impl(op, Lz, sig, mode, nrefine, depth, n_op, k)
-    Vnp = np.asarray(V.re) + 1j * np.asarray(V.im)
     Wnp = np.asarray(W.re) + 1j * np.asarray(W.im)
-    keep = np.linalg.norm(Vnp, axis=1) > 1e-14
-    return Vnp[keep], Wnp
+    return V, Wnp  # V stays device-resident; callers fold/orth there
 
 
 def _device_basis(factor, pencil, sigma: complex, mode: str, L0: np.ndarray,
@@ -318,11 +370,8 @@ def _device_basis(factor, pencil, sigma: complex, mode: str, L0: np.ndarray,
             j += step
     else:
         V, W = _basis_impl(op, Lz, sig, mode, nrefine, m, n_op)
-    Vnp = np.asarray(V.re) + 1j * np.asarray(V.im)
     Wnp = np.asarray(W.re) + 1j * np.asarray(W.im)
-    # drop exact-zero rows after a happy breakdown
-    keep = np.linalg.norm(Vnp, axis=1) > 1e-14
-    return Vnp[keep], Wnp
+    return V, Wnp  # V stays device-resident; callers fold/orth there
 
 
 def _apply_P_host(factor, x: np.ndarray) -> np.ndarray:
@@ -331,7 +380,7 @@ def _apply_P_host(factor, x: np.ndarray) -> np.ndarray:
 
     if isinstance(factor, ShiftedFactor):
         return factor._apply_P_np(x)
-    return factor._P @ x if hasattr(factor, "_P") else factor.lu.solve(x)
+    return factor._P @ x  # banded and host tiers both store the operator
 
 
 def _apply_P_host_block(factor, X: np.ndarray) -> np.ndarray:
@@ -366,7 +415,7 @@ def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
         mode = ("eps" if backend == "dense" else "epsb") if eps_kind else (
             "pep" if backend == "dense" else "pepb")
         pencil = (C,) if eps_kind else (B, C)
-        rows, W = _device_basis(factor, pencil, sigma, mode, L[:, 0], m,
+        Vdev, W = _device_basis(factor, pencil, sigma, mode, L[:, 0], m,
                                 nrefine)
         # Health gate: catches divergent/garbage factorizations (f32 no-pivot
         # blowup leaves residual >> 1).  Accuracy is still enforced by the
@@ -378,17 +427,20 @@ def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
             info(f"! factor health check failed (W residual {relW:.1e}).")
             return None
         if eps_kind:
-            return rows
-        n = C.n
-        halves = np.concatenate([rows[:, :n], rows[:, n:]], axis=0)
-        return _orth_rows(halves)
+            rows = np.asarray(Vdev.re) + 1j * np.asarray(Vdev.im)
+            keep = np.linalg.norm(rows, axis=1) > 1e-14
+            return rows[keep]
+        # companion basis: fold the C^{2n} halves and re-orthonormalize ON
+        # DEVICE (the (rows, 2n) basis never crosses the device link)
+        return _fold_orth_device(Vdev, W.reshape(C.n, -1), C.n,
+                                 include_w=False)
 
     if backend in ("dense", "banded"):
         # rank k > 1 on a device tier: single-dispatch block-Krylov basis
         mode = ("eps" if backend == "dense" else "epsb") if eps_kind else (
             "pep" if backend == "dense" else "pepb")
         pencil = (C,) if eps_kind else (B, C)
-        rows, W = _device_block_basis(factor, pencil, sigma, mode, L, m,
+        Vdev, W = _device_block_basis(factor, pencil, sigma, mode, L, m,
                                       nrefine)
         relW = float(np.linalg.norm(_apply_P_host_block(factor, W) - L)
                      / max(np.linalg.norm(L), 1e-300))
@@ -399,11 +451,9 @@ def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
             # SVD cleanup: with redundant flame columns the device block
             # orthonormalization returns rows whose Gram is a projector
             # (rank-deficient), not exact zeros — re-orthonormalize on host.
+            rows = np.asarray(Vdev.re) + 1j * np.asarray(Vdev.im)
             return _orth_rows(rows)
-        n = C.n
-        halves = np.concatenate([rows[:, :n], rows[:, n:]], axis=0)
-        halves = np.concatenate([halves, W.T], axis=0)
-        return _orth_rows(halves)
+        return _fold_orth_device(Vdev, W, C.n, include_w=True)
 
     W = np.asarray(factor.solve_P(L)) if backend == "host" \
         else np.stack([_solve_np(factor, L[:, j]) for j in range(k)], axis=1)

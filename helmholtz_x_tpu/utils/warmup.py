@@ -68,13 +68,24 @@ def device_ready() -> bool:
 
 
 def wait_device(timeout: float | None = None) -> bool:
-    """Block until the device is ready or `timeout` seconds passed."""
+    """Block until the device is ready or `timeout` seconds passed.
+
+    Only the FIRST caller pays the timeout: once a wait has expired without
+    the device coming up, later calls return the current readiness
+    immediately (a bench solving four cases should not stack four 10 s
+    waits on a device that is not coming)."""
     start_device_warmup()
+    with _cv:
+        if _state["ready"]:
+            return True
+        if _state.get("wait_expired"):
+            return False
     deadline = None if timeout is None else time.monotonic() + timeout
     with _cv:
         while not _state["ready"] and _state["error"] is None:
             remaining = None if deadline is None else deadline - time.monotonic()
             if remaining is not None and remaining <= 0:
+                _state["wait_expired"] = True
                 break
             _cv.wait(remaining)
         return _state["ready"]
