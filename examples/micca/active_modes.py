@@ -45,12 +45,27 @@ D = PointwiseFlameMatrix(mesh, None, params.measurement_points(), h,
 D.assemble_submatrices("direct")
 
 modes = {}
-for target in targets:
-    E = fixed_point_iteration(matrices, D, target, i=0, nev=4, tol=1e-8)
-    omega, _ = normalize_eigenvector(mesh, E, 0, print_eigs=False)
-    modes[target] = omega
-    info(f"target {target:8.1f} rad/s -> omega = {omega:.6f} "
-         f"({omega.real / (2 * np.pi):.1f} Hz)")
+if "-batched" in sys.argv or len(targets) > 1:
+    # batched sweep: ONE shared band geometry, vmapped factorizations and
+    # block-Krylov bases for all targets (solvers/sweep.py) — the
+    # embarrassingly-parallel target dimension the reference spreads over
+    # mpirun jobs rides the accelerator's batch axis instead
+    from helmholtz_x_tpu.solvers.sweep import sweep_targets
+
+    res = sweep_targets(matrices, D, targets, nev=4, i=0, tol=1e-8)
+    for target in targets:
+        E = res[complex(target)]
+        omega, _ = normalize_eigenvector(mesh, E, 0, print_eigs=False)
+        modes[target] = omega
+        info(f"target {target:8.1f} rad/s -> omega = {omega:.6f} "
+             f"({omega.real / (2 * np.pi):.1f} Hz)")
+else:
+    for target in targets:
+        E = fixed_point_iteration(matrices, D, target, i=0, nev=4, tol=1e-8)
+        omega, _ = normalize_eigenvector(mesh, E, 0, print_eigs=False)
+        modes[target] = omega
+        info(f"target {target:8.1f} rad/s -> omega = {omega:.6f} "
+             f"({omega.real / (2 * np.pi):.1f} Hz)")
 
 dict_writer(RESULTS + "/modes", modes)
 execution_time(start)
