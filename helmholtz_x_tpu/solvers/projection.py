@@ -49,9 +49,9 @@ from functools import partial
 from ..ops.cplx import Z
 from ..ops.csr import csr_device
 from ..utils.logging import info
-from .arnoldi import (EigenResult, EpsOp, PepOp, _arnoldi_chunk,
+from .arnoldi import (EigenResult, EpsOp, PepOp, _apply, _arnoldi_chunk,
                       _arnoldi_expand, _block_arnoldi_expand, _block_orth,
-                      _solve_wb, _solve_wbb)
+                      _polar_orth_rows, _solve_wb, _solve_wbb)
 
 
 def _enabled() -> bool:
@@ -95,9 +95,9 @@ def _orth_rows(X: np.ndarray, tol: float = 1e-12) -> np.ndarray:
 
 
 @partial(__import__("jax").jit, static_argnames=("n", "include_w"))
-def _fold_gram_impl(V: Z, Wz: Z, n: int, include_w: bool):
+def _fold_impl(V: Z, Wz: Z, n: int, include_w: bool):
     """Stack the companion-basis halves (and optionally W^T) WITHOUT leaving
-    the device, and form the Hermitian Gram G = H H^H of the stacked rows."""
+    the device."""
     import jax.numpy as jnp
 
     parts_r = [V.re[:, :n], V.re[:, n:]]
@@ -105,11 +105,13 @@ def _fold_gram_impl(V: Z, Wz: Z, n: int, include_w: bool):
     if include_w:
         parts_r.append(Wz.re.T)
         parts_i.append(Wz.im.T)
-    Hr = jnp.concatenate(parts_r, axis=0)
-    Hi = jnp.concatenate(parts_i, axis=0)
-    Gre = Hr @ Hr.T + Hi @ Hi.T
-    Gim = Hi @ Hr.T - Hr @ Hi.T
-    return Hr, Hi, Gre, Gim
+    return jnp.concatenate(parts_r, axis=0), jnp.concatenate(parts_i, axis=0)
+
+
+@partial(__import__("jax").jit)
+def _gram_impl(Hr, Hi):
+    """Hermitian Gram G = H H^H of the rows (device matmuls)."""
+    return Hr @ Hr.T + Hi @ Hi.T, Hi @ Hr.T - Hr @ Hi.T
 
 
 @partial(__import__("jax").jit)
@@ -120,32 +122,68 @@ def _recombine_impl(Hr, Hi, Tr, Ti):
     return Br, Bi
 
 
+@partial(__import__("jax").jit)
+def _project_out_impl(Hr, Hi, Br, Bi):
+    """H := H - <H, B> B for orthonormal rows B (two CGS passes)."""
+    for _ in range(2):
+        Pre = Hr @ Br.T + Hi @ Bi.T  # <h_j, b_i>
+        Pim = Hi @ Br.T - Hr @ Bi.T
+        Hr = Hr - (Pre @ Br - Pim @ Bi)
+        Hi = Hi - (Pre @ Bi + Pim @ Br)
+    return Hr, Hi
+
+
 def _fold_orth_device(V: Z, W: np.ndarray, n: int, include_w: bool,
-                      tol: float = 1e-14) -> np.ndarray:
+                      tol: float = 1e-12, stage_cut: float = 1e-8,
+                      max_stages: int = 4) -> np.ndarray:
     """Orthonormal rows spanning [V[:, :n]; V[:, n:]; W^T] for a DEVICE
-    companion basis V (rows, 2n): device Gram + host eigh of the small
-    (rows x rows) Gram + device recombination.  Only the Gram (tiny) and
-    the final (r, n) basis cross the device link — the (rows, 2n) companion
-    basis (~150 MB for the 3D cases) never does, and the O(rows^2 n) SVD
-    leaves the (slow) host.  The Gram route halves the attainable rank
-    tolerance vs an SVD (eigenvalues are singular values squared); the
-    subspace feeds an exact-f64 Galerkin projection, so a ~1e-7 singular
-    value cutoff costs nothing observable."""
+    companion basis V (rows, 2n), computed WITHOUT reading the (rows, 2n)
+    stack back (~150 MB for the 3D cases) or running an O(rows^2 n) host
+    SVD.  STAGED rank-revealing Gram orthogonalization:
+
+      per stage: Gram of the current residual rows on device, eigh of the
+      tiny (rows x rows) Gram on host, keep eigenpairs above `stage_cut`
+      RELATIVE TO THIS STAGE's top (so the 1/sqrt(lam) recombination error
+      stays ~eps/stage_cut ~ 2e-8), recombine on device, project the kept
+      rows out, recurse on the residual.
+
+    A single-stage Gram cannot resolve directions below sv ~ sqrt(eps) of
+    the global scale (the recombination amplifies Gram noise by 1/lam);
+    staging resets the scale each round, reaching the SVD-grade global
+    cutoff `tol` (sv ratio) in ceil(log(tol)/log(stage_cut^0.5)) stages.
+    Only Grams (tiny) and the final (r, n) rows cross the device link."""
     import jax.numpy as jnp
 
     Wz = Z(jnp.asarray(np.ascontiguousarray(W.real)),
            jnp.asarray(np.ascontiguousarray(W.imag)))
-    Hr, Hi, Gre, Gim = _fold_gram_impl(V, Wz, n, include_w)
-    G = np.asarray(Gre) + 1j * np.asarray(Gim)
-    lam, U = np.linalg.eigh((G + G.conj().T) / 2)
-    top = lam[-1] if len(lam) else 1.0
-    keep = lam > max(tol * top, 0.0)
-    if not np.any(keep):
+    Hr, Hi = _fold_impl(V, Wz, n, include_w)
+    out = []
+    top0 = None
+    Br = Bi = None
+    for _ in range(max_stages):
+        if Br is not None:
+            Hr, Hi = _project_out_impl(Hr, Hi, Br, Bi)
+        Gre, Gim = _gram_impl(Hr, Hi)
+        G = np.asarray(Gre) + 1j * np.asarray(Gim)
+        lam, U = np.linalg.eigh((G + G.conj().T) / 2)
+        top = float(lam[-1]) if len(lam) else 0.0
+        if top0 is None:
+            top0 = max(top, 1e-300)
+        # global floor: stop once the residual is below the sv `tol` ratio
+        if top <= tol * tol * top0:
+            break
+        keep = lam > stage_cut * top
+        if not np.any(keep):
+            break
+        T = U[:, keep] / np.sqrt(lam[keep])
+        Br, Bi = _recombine_impl(
+            Hr, Hi, jnp.asarray(np.ascontiguousarray(T.real)),
+            jnp.asarray(np.ascontiguousarray(T.imag)))
+        out.append((Br, Bi))
+    if not out:
         return np.zeros((0, n), dtype=np.complex128)
-    T = U[:, keep] / np.sqrt(lam[keep])
-    Br, Bi = _recombine_impl(Hr, Hi, jnp.asarray(np.ascontiguousarray(T.real)),
-                             jnp.asarray(np.ascontiguousarray(T.imag)))
-    return np.asarray(Br) + 1j * np.asarray(Bi)
+    rows = [np.asarray(br) + 1j * np.asarray(bi) for br, bi in out]
+    return np.concatenate(rows, axis=0)
 
 
 def _host_block_arnoldi(apply_fn, start: np.ndarray, depth: int,
@@ -270,16 +308,31 @@ def _block_seed_impl(op, Lz: Z, sig: Z, mode: str, nrefine: int, nrows: int,
 def _block_step_impl(op, V: Z, b, mode: str, nrefine: int, k: int):
     """One block-Krylov step (multi-RHS solve + orthonormalization); the
     step index `b` is traced so every step reuses one compiled program.
-    Also returns the new block's Gram trace == number of surviving new
-    directions (the polar orthonormalization zeroes deficient
-    eigendirections) so the host can stop at Krylov saturation without an
-    extra round trip."""
+    Also returns the new block's PRE-orthonormalization CGS2 residual mass:
+    the host compares it against the FIRST block's mass to stop at Krylov
+    saturation.  (The post-orth mass is useless for this — the polar
+    orthonormalization unit-normalizes whatever survives, including
+    solver-noise directions at the ~1e-10 level of the Ozaki-refined
+    matvecs, which would otherwise flood the basis with junk rows.)"""
     import jax
+    from ..ops.cplx import Z as _Z
 
-    V = _block_arnoldi_expand(op, V, b, b + 1, k, mode, nrefine)
-    rows_r = jax.lax.dynamic_slice_in_dim(V.re, (b + 1) * k, k, 0)
-    rows_i = jax.lax.dynamic_slice_in_dim(V.im, (b + 1) * k, k, 0)
-    return V, (rows_r**2 + rows_i**2).sum()
+    cur = _Z(jax.lax.dynamic_slice_in_dim(V.re, b * k, k, 0),
+             jax.lax.dynamic_slice_in_dim(V.im, b * k, k, 0))
+    w = _apply(op, _Z(cur.re.T, cur.im.T), mode, nrefine)  # (n_op, k)
+    Wr, Wi = w.re.T, w.im.T
+    for _ in range(2):  # CGS2 against every stored row
+        hre = V.re @ Wr.T + V.im @ Wi.T
+        him = V.re @ Wi.T - V.im @ Wr.T
+        Wr = Wr - (hre.T @ V.re - him.T @ V.im)
+        Wi = Wi - (hre.T @ V.im + him.T @ V.re)
+    resid_mass = (Wr**2 + Wi**2).sum()
+    for _ in range(2):
+        Wr, Wi = _polar_orth_rows(Wr, Wi)
+    V = Z(jax.lax.dynamic_update_slice_in_dim(V.re, Wr, (b + 1) * k, 0),
+          jax.lax.dynamic_update_slice_in_dim(V.im, Wi, (b + 1) * k, 0))
+    surv = (Wr**2 + Wi**2).sum()  # number of surviving unit directions
+    return V, (resid_mass, surv)
 
 
 @partial(__import__("jax").jit,
@@ -331,10 +384,20 @@ def _device_block_basis(factor, pencil, sigma: complex, mode: str,
     if _split_basis(n_op):
         V, W = _block_seed_impl(op, Lz, sig, mode, nrefine,
                                 (depth + 1) * k, n_op, k)
+        from ..utils.metrics import record as _record
+        import time as _time
+
         for b in range(depth):
-            V, mass = _block_step_impl(op, V, b, mode, nrefine, k)
-            # Krylov-saturation early exit: no surviving new directions
-            if float(mass) < 0.5:
+            _t0 = _time.perf_counter()
+            V, (mass, surv) = _block_step_impl(op, V, b, mode, nrefine, k)
+            fs = float(surv)
+            _record("basis_step", b=b, mass=float(mass), surviving=fs,
+                    wall_s=round(_time.perf_counter() - _t0, 3))
+            # Krylov-saturation exit: the in-step polar orthonormalization
+            # zeroed every direction of the new block (its within-block
+            # spread fell below the rank tolerance) — deeper blocks add
+            # nothing; the exited block's rows are zeros (harmless).
+            if fs < 0.5:
                 break
     else:
         V, W = _block_basis_impl(op, Lz, sig, mode, nrefine, depth, n_op, k)
@@ -372,6 +435,29 @@ def _device_basis(factor, pencil, sigma: complex, mode: str, L0: np.ndarray,
         V, W = _basis_impl(op, Lz, sig, mode, nrefine, m, n_op)
     Wnp = np.asarray(W.re) + 1j * np.asarray(W.im)
     return V, Wnp  # V stays device-resident; callers fold/orth there
+
+
+def _fold_basis(Vdev: Z, W: np.ndarray, n: int, include_w: bool) -> np.ndarray:
+    """Fold the C^{2n} companion rows into C^n and re-orthonormalize.
+
+    Default: read the (nonzero) rows back and run the rank-revealing host
+    SVD — exactly the round-3-proven pipeline; with the in-step saturation
+    exit the readback is typically ~50 MB, not the full deep stack.
+
+    HELMHOLTZ_X_TPU_FOLD=staged selects the device-resident staged-Gram
+    fold instead (no big readback, no host SVD).  It is numerically sound
+    on clean row stacks (tests/test_block_basis) but keeps the no-pivot
+    LU's element-growth junk rows as genuine directions, whose spurious
+    Ritz values can stall the projected FPI's mode tracking on hard 3D
+    cases — hence not yet the default."""
+    if os.environ.get("HELMHOLTZ_X_TPU_FOLD", "svd") == "staged":
+        return _fold_orth_device(Vdev, W, n, include_w)
+    rows = np.asarray(Vdev.re) + 1j * np.asarray(Vdev.im)
+    rows = rows[np.linalg.norm(rows, axis=1) > 1e-14]
+    halves = np.concatenate([rows[:, :n], rows[:, n:]], axis=0)
+    if include_w:
+        halves = np.concatenate([halves, W.T], axis=0)
+    return _orth_rows(halves)
 
 
 def _apply_P_host(factor, x: np.ndarray) -> np.ndarray:
@@ -430,10 +516,7 @@ def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
             rows = np.asarray(Vdev.re) + 1j * np.asarray(Vdev.im)
             keep = np.linalg.norm(rows, axis=1) > 1e-14
             return rows[keep]
-        # companion basis: fold the C^{2n} halves and re-orthonormalize ON
-        # DEVICE (the (rows, 2n) basis never crosses the device link)
-        return _fold_orth_device(Vdev, W.reshape(C.n, -1), C.n,
-                                 include_w=False)
+        return _fold_basis(Vdev, W.reshape(C.n, -1), C.n, include_w=False)
 
     if backend in ("dense", "banded"):
         # rank k > 1 on a device tier: single-dispatch block-Krylov basis
@@ -453,7 +536,7 @@ def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
             # (rank-deficient), not exact zeros — re-orthonormalize on host.
             rows = np.asarray(Vdev.re) + 1j * np.asarray(Vdev.im)
             return _orth_rows(rows)
-        return _fold_orth_device(Vdev, W, C.n, include_w=True)
+        return _fold_basis(Vdev, W, C.n, include_w=True)
 
     W = np.asarray(factor.solve_P(L)) if backend == "host" \
         else np.stack([_solve_np(factor, L[:, j]) for j in range(k)], axis=1)

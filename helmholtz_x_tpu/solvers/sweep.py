@@ -113,7 +113,7 @@ def _sweep_banded(operators, D, targets, nev, i, tol, maxiter, problem_type,
     from ..ops.banded import BandedFactor, build_band_device
     from ..solvers.arnoldi import BandedSolveOp, PepOp, Woodbury
     from ..solvers.fpi import _flame_factors, _pick_B
-    from ..solvers.projection import (_block_basis_impl, _fold_orth_device,
+    from ..solvers.projection import (_block_basis_impl, _fold_basis,
                                       default_m, finalize_projected,
                                       fpi_on_projection, project)
 
@@ -236,7 +236,7 @@ def _sweep_banded(operators, D, targets, nev, i, tol, maxiter, problem_type,
                 operators, D, t, nev=nev, i=i, tol=tol, maxiter=maxiter,
                 problem_type=problem_type)
             continue
-        V = _fold_orth_device(Vdev, Wnp, n, include_w=True)
+        V = _fold_basis(Vdev, Wnp, n, include_w=True)
         proj = project(V, A, B, C, L, R)
         lam, Y, iters, sc = fpi_on_projection(proj, D, t, nev, i, tol,
                                               maxiter, problem_type,
