@@ -31,6 +31,12 @@ SCRIPTS=(
   rijke_ffd/main_opt.py
 )
 
+# Optional Lm step: regenerate the structured case meshes natively
+# (gmsh-free; see tools/generate_case_mesh.py) before running the cases.
+if [ "${REGENERATE_MESHES:-0}" = "1" ]; then
+  (cd .. && python tools/generate_case_mesh.py rijke3d examples/rijke_tube_3d/MeshDir/mesh)
+fi
+
 failed=()
 for s in "${SCRIPTS[@]}"; do
   d=$(dirname "$s")

@@ -85,3 +85,32 @@ def test_manufactured_convergence_order():
     # Richardson: om_h = om_exact + C h^2  ->  om_ext = (4 om_f - om_c) / 3
     om_ext = (4 * oms[2] - oms[1]) / 3
     assert abs(om_ext - om_ref) / abs(om_ref) < 2e-5, (om_ext, om_ref)
+
+
+def test_manufactured_vs_committed_matlab_data():
+    """Gate against the reference's COMMITTED MATLAB roots
+    (manufacturedSolution/matlab_data/analytical.txt: columns
+    f_b_real f_b_imag f_a_real f_a_imag over Z = linspace(-10,10,N), where
+    the b sweep is the pure-imaginary impedance Z=ib and the a sweep the
+    pure-real Z=a; the reference overlays them in its plot only,
+    manufacturedHelmholtz.py:59-93).  The file carries 0.1-Hz precision, so
+    the gate is 0.2 Hz absolute on both parts after solving OUR 2D FEM
+    problem at the same impedances."""
+    path = ("/root/reference/numerical_examples/manufacturedSolution/"
+            "matlab_data/analytical.txt")
+    data = np.loadtxt(path)
+    Zs = np.linspace(-10, 10, len(data))
+    target = 600 * 2 * np.pi
+    for zq in (-5.0, 4.0):  # one row per sweep side, away from Z ~ 0
+        j = int(np.argmin(np.abs(Zs - zq)))
+        fb = data[j, 0] + 1j * data[j, 1]  # Z = i*b
+        fa = data[j, 2] + 1j * data[j, 3]  # Z = a
+        for Z, f_ref in ((1j * Zs[j], fb), (Zs[j] + 0j, fa)):
+            mesh = rectangle_setup(160, 40, L, H)
+            c = c_uniform(mesh, C0)
+            matrices = AcousticMatrices(mesh, {4: {"Robin": calc_R(Z)}}, c)
+            E = pep_solver(matrices.A, matrices.B, matrices.C, target, nev=2)
+            omega, _ = normalize_eigenvector(mesh, E, 0, print_eigs=False)
+            f = omega / (2 * np.pi)
+            assert abs(f.real - f_ref.real) < 0.6, (Z, f, f_ref)
+            assert abs(f.imag - f_ref.imag) < 0.6, (Z, f, f_ref)
