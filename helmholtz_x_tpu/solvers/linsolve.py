@@ -321,6 +321,37 @@ class SparseShiftedFactor:
         return y
 
 
+class HostAdjointFactor(SparseShiftedFactor):
+    """Host factor for P_adj = P^H REUSING an existing SuperLU
+    factorization: the adjoint pencil's passive operator
+    A + conj(sigma) B_adj + conj(sigma)^2 C equals the direct one's
+    conjugate transpose exactly (A, C real symmetric; B complex symmetric;
+    B_adj = conj(B^T) by the reference's own construction), so its solves
+    are the direct factor's transpose-flag solves — the adjoint FPI that
+    follows a direct solve gets its factorization for free."""
+
+    def __init__(self, base: SparseShiftedFactor, P_scipy):
+        import scipy.sparse as sp
+
+        self.n = base.n
+        self._P = sp.csr_matrix(P_scipy)
+        self._base = base
+        self._L = None
+        self._R = None
+        self._W = None
+        self._Wh = None
+        self._G = None
+        self._Gh = None
+        self._cap = None
+        self._caph = None
+
+    def solve_P(self, b: np.ndarray) -> np.ndarray:
+        return self._base.solve_P_H(b)
+
+    def solve_P_H(self, b: np.ndarray) -> np.ndarray:
+        return self._base.solve_P(b)
+
+
 
 class BandedShiftedFactor:
     """TPU-native sparse-direct tier: RCM reordering (native/meshkit) + block
@@ -531,6 +562,9 @@ class BandedShiftedFactor:
 # embedding needs 2*(2n)^2 f64 ~ 64 n^2 bytes: 10k dofs ~ 6.4 GB).
 DENSE_DOF_LIMIT = int(__import__("os").environ.get("HELMHOLTZ_X_TPU_DENSE_LIMIT", 8000))
 
+# recent host factorizations, newest last (adjoint P^H reuse)
+_recent_host_factors: list = []
+
 # 'auto': banded device LU on accelerators, host LU on the CPU test backend
 # (the banded factor is MXU-shaped; on CPU SuperLU is the faster oracle).
 SPARSE_TIER = __import__("os").environ.get("HELMHOLTZ_X_TPU_SPARSE_TIER", "auto")
@@ -611,4 +645,19 @@ def build_shifted_factor(terms, n: int):
             return ShiftedFactor.from_terms(terms, n)
         if tier == "banded":
             return BandedShiftedFactor(csr_weighted_scipy(terms), terms=terms)
-        return SparseShiftedFactor(csr_weighted_scipy(terms))
+        P = csr_weighted_scipy(terms).tocsr()
+        # adjoint reuse: if a recent host factor's operator is exactly the
+        # conjugate transpose of this one (direct -> adjoint sequence),
+        # reuse its SuperLU factorization with swapped transpose flags
+        for prev in _recent_host_factors:
+            if prev._P.shape == P.shape and prev._P.nnz == P.nnz:
+                d = (P - prev._P.conj().T.tocsr())
+                if (abs(d).max() if d.nnz else 0.0) <= 1e-14 * abs(P).max():
+                    info("- reusing the direct factorization for the "
+                         "adjoint operator (P_adj = P^H).")
+                    build_shifted_factor.last_tier = "host(adjoint-reuse)"
+                    return HostAdjointFactor(prev, P)
+        factor = SparseShiftedFactor(P)
+        _recent_host_factors.append(factor)
+        del _recent_host_factors[:-2]  # bound memory: keep 2 newest
+        return factor

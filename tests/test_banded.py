@@ -163,3 +163,33 @@ def test_ozaki_refinement_matches_csr_refinement():
         g = np.asarray(got_z.re) + 1j * np.asarray(got_z.im)
         assert np.linalg.norm(A @ g - b) / np.linalg.norm(b) < 1e-9
         assert np.linalg.norm(g - xs) / np.linalg.norm(xs) < 1e-8
+
+
+def test_host_adjoint_factor_reuse():
+    """HostAdjointFactor: P_adj = P^H solves reuse the base SuperLU
+    factorization with swapped transpose flags, exactly."""
+    import scipy.sparse as sp
+
+    from helmholtz_x_tpu.solvers.linsolve import (HostAdjointFactor,
+                                                  SparseShiftedFactor)
+
+    rng = np.random.default_rng(5)
+    n = 300
+    A = _random_banded(n, rng)
+    base = SparseShiftedFactor(A)
+    adj = HostAdjointFactor(base, A.conj().T.tocsr())
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    x = adj.solve_P(b)
+    assert np.linalg.norm(A.conj().T @ x - b) / np.linalg.norm(b) < 1e-12
+    xh = adj.solve_P_H(b)
+    assert np.linalg.norm(A @ xh - b) / np.linalg.norm(b) < 1e-12
+    # Woodbury path through the view
+    k = 2
+    L = rng.standard_normal((n, k)) + 1j * rng.standard_normal((n, k))
+    R = rng.standard_normal((n, k)) + 1j * rng.standard_normal((n, k))
+    s = 0.4 + 0.1j
+    adj.set_lowrank_factors(L, R, two_sided=True)
+    adj.set_scale(s)
+    M = (A.conj().T - s * sp.csr_matrix(L @ R.T)).tocsr()
+    y = adj.solve_wb(b)
+    assert np.linalg.norm(M @ y - b) / np.linalg.norm(b) < 1e-10
