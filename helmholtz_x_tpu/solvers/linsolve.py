@@ -629,11 +629,18 @@ def build_shifted_factor(terms, n: int):
             # degraded-mode fallback (SURVEY §5): a remote device whose
             # session bind is still pending would stall the solve for
             # minutes — degrade to the host sparse-direct tier instead.
+            # STICKY per process: once one solve degraded, later solves
+            # stay on host even if the device binds mid-run — switching
+            # tiers between a direct and its adjoint forfeits the P^H
+            # factorization reuse and risks fresh device compiles.
             from ..utils.warmup import cold_start_policy, wait_device
 
-            if not wait_device(cold_start_policy()):
+            if getattr(build_shifted_factor, "_sticky_host", False):
+                tier = "host"
+            elif not wait_device(cold_start_policy()):
                 info("! device session not ready; degrading to the host "
                      "sparse-direct tier for this factorization.")
+                build_shifted_factor._sticky_host = True
                 tier = "host"
     elif n <= DENSE_DOF_LIMIT and tier not in ("banded", "host"):
         tier = "dense"
