@@ -272,7 +272,11 @@ class SparseShiftedFactor:
 
         self.n = P_scipy.shape[0]
         self._P = sp.csr_matrix(P_scipy)  # exact operator (health checks)
-        self.lu = splu(sp.csc_matrix(P_scipy))
+        # the FEM operators are structurally symmetric: MMD_AT_PLUS_A +
+        # SymmetricMode beats COLAMD on fill and factor time (measured
+        # 4.7 s vs 5.5 s, 20.2M vs 20.6M LU nnz on the MICCA operator)
+        self.lu = splu(sp.csc_matrix(P_scipy), permc_spec="MMD_AT_PLUS_A",
+                       options={"SymmetricMode": True})
         self._L = None
         self._R = None
         self._W = None
