@@ -525,13 +525,15 @@ class BandedShiftedFactor:
         # sweep.  For the refactored f64 factor pick the count that reaches
         # ~1e-13 (on accelerators the fast_inv block inverses leave the raw
         # solve ~1e-3 accurate, so the old fixed refine=1 left ~1e-6 solves
-        # — not enough for the projection residual gate).  The mixed-f32
-        # tier keeps its cheap fixed count: basis quality is subspace-bound
-        # and the finalize polish boosts accuracy where it matters.
+        # — not enough for the projection residual gate).  QUANTIZED to two
+        # buckets with a wide margin: the count feeds static jit arguments
+        # of the device solve programs, and run-to-run probe jitter picking
+        # 4 vs 5 sweeps would invalidate the persistent compile cache
+        # (~180 s remote AOT per miss).  The mixed-f32 tier keeps its cheap
+        # fixed count: basis quality is subspace-bound and the finalize
+        # polish boosts accuracy where it matters.
         if not self.mixed and np.isfinite(rel) and 0 < rel < 0.3:
-            import math
-
-            self.refine = max(1, min(8, math.ceil(-30.0 / math.log(rel))))
+            self.refine = 4 if rel < 1e-2 else 8
         return y_raw
 
     def _solve_refined(self, b: np.ndarray, hermitian: bool) -> np.ndarray:

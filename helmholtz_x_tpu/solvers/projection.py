@@ -387,11 +387,14 @@ def _device_block_basis(factor, pencil, sigma: complex, mode: str,
         from ..utils.metrics import record as _record
         import time as _time
 
+        mass0 = None
+        rows_keep = (depth + 1) * k
         for b in range(depth):
             _t0 = _time.perf_counter()
             V, (mass, surv) = _block_step_impl(op, V, b, mode, nrefine, k)
             fs = float(surv)
-            _record("basis_step", b=b, mass=float(mass), surviving=fs,
+            fm = float(mass)
+            _record("basis_step", b=b, mass=fm, surviving=fs,
                     wall_s=round(_time.perf_counter() - _t0, 3))
             # Krylov-saturation exit: the in-step polar orthonormalization
             # zeroed every direction of the new block (its within-block
@@ -399,6 +402,17 @@ def _device_block_basis(factor, pencil, sigma: complex, mode: str,
             # nothing; the exited block's rows are zeros (harmless).
             if fs < 0.5:
                 break
+            # Instability exit: the pre-orth CGS2 residual EXPLODED
+            # relative to the running maximum (measured 1e37x at block 2
+            # on the MICCA operator — no-pivot banded LU element growth).
+            # Deeper blocks are growth junk; exclude the just-stored block
+            # and let the rank-revealing fold work on the genuine rows.
+            if mass0 is not None and fm > 1e12 * mass0:
+                rows_keep = (b + 1) * k
+                break
+            mass0 = fm if mass0 is None else max(mass0, fm)
+        if rows_keep < (depth + 1) * k:
+            V = Z(V.re[:rows_keep], V.im[:rows_keep])
     else:
         V, W = _block_basis_impl(op, Lz, sig, mode, nrefine, depth, n_op, k)
     Wnp = np.asarray(W.re) + 1j * np.asarray(W.im)
@@ -490,8 +504,12 @@ def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
     # Basis-build solves shape the subspace only (Ah/Bh/Ch come from the
     # exact f64 CSR operators), but the no-pivot banded LU's RAW solve can
     # be ~1e-5 off (element growth), which shows up linearly in the final
-    # eigenvector residual — keep the factor's refinement sweeps.
-    nrefine = factor.refine if backend == "banded" else (
+    # eigenvector residual — keep refinement sweeps.  The count is PINNED
+    # (not the probe-tuned factor.refine): it is a static jit argument of
+    # the basis programs, and letting the probe's run-to-run jitter pick
+    # 4 vs 5 sweeps invalidated the persistent compile cache every process
+    # (~180 s remote AOT per miss).
+    nrefine = 4 if backend == "banded" else (
         factor.nrefine if backend == "dense" else 0)
     L = np.asarray(L, dtype=np.complex128).reshape(A.n, -1)
     R = np.asarray(R, dtype=np.complex128).reshape(A.n, -1)
