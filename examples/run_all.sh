@@ -12,6 +12,7 @@ SCRIPTS=(
   rijke_tube_1d/passive.py
   rijke_tube_1d/active.py
   rijke_tube_1d/active_adj.py
+  rijke_tube_2d/passive.py
   rijke_tube_2d/active.py
   rijke_tube_3d/passive.py
   rijke_tube_3d/active.py

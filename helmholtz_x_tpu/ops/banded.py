@@ -114,6 +114,24 @@ def _factor_band(band_re, band_im, W: int, nbk: int, fast_inv: bool = False):
     the CPU test backend LAPACK f64 QR is exact and fast, so default off."""
     nb = band_re.shape[2]
 
+    def _clamp_r(r, rel):
+        """Static pivoting (the SuperLU_DIST trick): replace R-diagonal
+        entries below rel*max|R_ii| so the block inverse norm is bounded by
+        1/delta.  A no-pivot LU on the indefinite shifted FEM operator can
+        meet a near-singular diagonal block, whose unbounded inverse poisons
+        every later Schur update (measured 1e37x Krylov-residual growth on
+        the MICCA annulus operator); solving a NEARBY factorization instead
+        costs only extra iterative-refinement sweeps against the exact CSR
+        operator.  Returns (clamped R, did-anything-clamp flag)."""
+        rd = jnp.diagonal(r)
+        delta = rel * jnp.maximum(jnp.max(jnp.abs(rd)), 1e-300)
+        bad = jnp.abs(rd) < delta
+        rd_safe = jnp.where(bad, jnp.where(rd < 0, -delta, delta), rd)
+        n2 = r.shape[0]
+        r = r + jnp.zeros_like(r).at[jnp.arange(n2), jnp.arange(n2)].set(
+            rd_safe - rd)
+        return r, jnp.any(bad)
+
     def inv_block(dr, di):
         e = jnp.concatenate(
             [jnp.concatenate([dr, -di], axis=1), jnp.concatenate([di, dr], axis=1)],
@@ -121,13 +139,20 @@ def _factor_band(band_re, band_im, W: int, nbk: int, fast_inv: bool = False):
         if fast_inv and e.dtype == jnp.float64:
             e32 = e.astype(jnp.float32)
             q, r = jnp.linalg.qr(e32)
+            r, clamped = _clamp_r(r, 1e-5)
             m = jax.scipy.linalg.solve_triangular(r, q.T, lower=False)
-            x = m.astype(jnp.float64)
+            x0 = m.astype(jnp.float64)
             eye2 = 2.0 * jnp.eye(2 * nb, dtype=jnp.float64)
+            x = x0
             for _ in range(2):
                 x = x @ (eye2 - e @ x)
+            # Newton converges to the TRUE (possibly unbounded) inverse —
+            # keep the regularized f32-grade inverse when clamping fired.
+            x = jnp.where(clamped, x0, x)
         else:
             q, r = jnp.linalg.qr(e)
+            rel = 1e-6 if e.dtype == jnp.float32 else 1e-10
+            r, _ = _clamp_r(r, rel)
             x = jax.scipy.linalg.solve_triangular(r, q.T, lower=False)
         return x[:nb, :nb], x[nb:, :nb]  # (re, im) of the complex inverse
 
@@ -218,7 +243,10 @@ def factor_banded(sp_mat, perm: np.ndarray, nb: int = 256,
 
     n = sp_mat.shape[0]
     if equilibrate is None:
-        equilibrate = np.dtype(dtype) == np.float32
+        # Symmetric diagonal scaling helps the NO-PIVOT LU at every dtype
+        # (it removes the FEM 1/h row scaling from the diagonal blocks'
+        # conditioning), and the solves undo it exactly — default on.
+        equilibrate = True
     if equilibrate:
         diag = np.abs(sp_mat.diagonal())
         d = 1.0 / np.sqrt(np.maximum(diag, 1e-30))

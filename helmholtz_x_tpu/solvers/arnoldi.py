@@ -202,6 +202,26 @@ def _solve_wbb(sv: BandedSolveOp, b: Z, nrefine: int) -> Z:
     return Z(y.re + corr.re, y.im + corr.im)
 
 
+def _solve_wbb_T(sv: BandedSolveOp, b: Z, nrefine: int) -> Z:
+    """Forward solve THROUGH a Hermitian-reused factor (the 'h' solve
+    modes): sv.fac holds the LU of the DIRECT operator P while sv.A/B/C/ozP
+    are the ADJOINT pencil's own terms (P_adj = P^H), so the raw solve is
+    the H-substitution and refinement/Woodbury use the adjoint factor's
+    forward state.  See linsolve.BandedAdjointFactor."""
+    n = sv.A.n
+    y = banded_solve_H(sv.fac, b, n)
+    for _ in range(nrefine):
+        py = _apply_P(sv, y)
+        r = Z(b.re - py.re, b.im - py.im)
+        dy = banded_solve_H(sv.fac, r, n)
+        y = Z(y.re + dy.re, y.im + dy.im)
+    wb = sv.wb
+    t = _kT_matvec(wb.R, y)
+    c = _k_matvec(wb.cap, t)
+    corr = _k_matvec(wb.W, c)
+    return Z(y.re + corr.re, y.im + corr.im)
+
+
 def _solve_wbb_H(sv: BandedSolveOp, b: Z, nrefine: int) -> Z:
     n = sv.A.n
     y = banded_solve_H(sv.fac, b, n)
@@ -232,7 +252,35 @@ def _solve_wb_H(sv: SolveOp, b: Z, nrefine: int) -> Z:
     return Z(y.re + corr.re, y.im + corr.im)
 
 
+def _pick_solve(mode: str):
+    """The W-solve matching a basis-build mode: '…b' = banded tier,
+    '…bh' = banded tier through a Hermitian-reused factor, else dense."""
+    if mode.endswith("bh"):
+        return _solve_wbb_T
+    if mode.endswith("b"):
+        return _solve_wbb
+    return _solve_wb
+
+
 def _apply(op, v: Z, mode: str, nrefine: int) -> Z:
+    if mode == "epsbh":
+        mv = spmv(op.C, v)
+        return _solve_wbb_T(op.sv, Z(-mv.re, -mv.im), nrefine)
+    if mode == "pepbh":
+        n = op.C.n
+        v1 = Z(v.re[:n], v.im[:n])
+        v2 = Z(v.re[n:], v.im[n:])
+        sv1 = Z(op.sig.re * v1.re - op.sig.im * v1.im,
+                op.sig.re * v1.im + op.sig.im * v1.re)
+        cv = spmv(op.C, Z(v2.re + sv1.re, v2.im + sv1.im))
+        bv = spmv(op.B, v1)
+        rhs = Z(bv.re + cv.re, bv.im + cv.im)
+        z1 = _solve_wbb_T(op.sv, rhs, nrefine)
+        z1 = Z(-z1.re, -z1.im)
+        sz1 = Z(op.sig.re * z1.re - op.sig.im * z1.im,
+                op.sig.re * z1.im + op.sig.im * z1.re)
+        z2 = Z(v1.re + sz1.re, v1.im + sz1.im)
+        return Z(jnp.concatenate([z1.re, z2.re]), jnp.concatenate([z1.im, z2.im]))
     if mode == "eps":
         mv = spmv(op.C, v)
         return _solve_wb(op.sv, Z(-mv.re, -mv.im), nrefine)
@@ -512,7 +560,8 @@ def eps_solver(A: CSR, C: CSR, target: complex, nev: int = 2,
                                             host_apply=apply_fn)
     elif backend == "banded":
         op = EpsOp(sv=factor.solve_op(), C=csr_device(C))
-        nus, ys, rel, Vnp, j = _run_arnoldi(op, "epsb", n, nev, tol, mmax,
+        mode_b = "epsb" + ("h" if getattr(factor, "herm_factor", False) else "")
+        nus, ys, rel, Vnp, j = _run_arnoldi(op, mode_b, n, nev, tol, mmax,
                                             nrefine=factor.refine)
     else:
         op = EpsOp(sv=factor.solve_op(), C=csr_device(C))
@@ -600,7 +649,8 @@ def pep_solver(A: CSR, B: CSR, C: CSR, target: complex, nev: int = 2,
     elif backend == "banded":
         op = PepOp(sv=factor.solve_op(), B=csr_device(B), C=csr_device(C),
                    sig=Z(jnp.asarray(sigma.real), jnp.asarray(sigma.imag)))
-        nus, ys, rel, Vnp, j = _run_arnoldi(op, "pepb", 2 * n, nev, tol, mmax,
+        mode_b = "pepb" + ("h" if getattr(factor, "herm_factor", False) else "")
+        nus, ys, rel, Vnp, j = _run_arnoldi(op, mode_b, 2 * n, nev, tol, mmax,
                                             nrefine=factor.refine)
     else:
         op = PepOp(sv=factor.solve_op(), B=csr_device(B), C=csr_device(C),

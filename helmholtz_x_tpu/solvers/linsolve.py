@@ -564,12 +564,75 @@ class BandedShiftedFactor:
     solve_wb_H = SparseShiftedFactor.solve_wb_H
 
 
+class BandedAdjointFactor(BandedShiftedFactor):
+    """Banded factor for P_adj ~= P^H REUSING an existing device LU.
+
+    The adjoint pencil's passive operator A + conj(sigma) B_adj +
+    conj(sigma)^2 C is exactly the direct one's conjugate transpose (A, C
+    real symmetric; B complex symmetric; B_adj = conj(B^T) by the
+    reference's construction, helmholtz_x/acoustic_matrices.py:112-114), so
+    its solves are the direct banded LU's Hermitian-substitution solves —
+    the adjoint FPI that follows a direct solve skips the device
+    factorization entirely.  ``build_shifted_factor`` also accepts NEAR
+    matches (rel ~1e-9, e.g. the finalize factors at independently
+    converged direct/adjoint eigenvalues): the solve then behaves like a
+    slightly perturbed factorization and the iterative refinement against
+    the EXACT adjoint CSR operator absorbs the difference.
+
+    The jitted basis-build programs reach the H-substitution through the
+    'h'-suffixed solve modes (arnoldi._solve_wbb_T): same LU arrays, same
+    compiled-program cache geometry."""
+
+    herm_factor = True  # build_basis/eps/pep append 'h' to the solve mode
+
+    def __init__(self, base: BandedShiftedFactor, P_scipy, terms=None):
+        import scipy.sparse as sp
+
+        self._base = base
+        self.n = base.n
+        self._P = sp.csr_matrix(P_scipy)
+        self.mixed = base.mixed
+        self.fac = base.fac
+        self._solve_fn = base._solve_fn
+        self._solve_H_fn = base._solve_H_fn
+        self._perm = base._perm
+        self._nb = base._nb
+        # the base LU's stability was (or will be) probed on ITS solves; a
+        # bad probe here must never refactor the shared arrays.  Refinement
+        # absorbs both the no-pivot growth and any near-match perturbation.
+        self._probed = True
+        self.refine = max(base.refine, 4)
+        if terms is not None:
+            terms = [(complex(c), m) for c, m in terms if m is not None and c != 0]
+            self._tA = terms[0][1]
+            if len(terms) == 2:
+                self._tB, self._cb = None, 0.0
+                self._cc, self._tC = terms[1]
+            else:
+                self._cb, self._tB = terms[1]
+                self._cc, self._tC = terms[2]
+        else:
+            self._tA = self._tB = self._tC = None
+            self._cb = self._cc = 0.0
+        self._L = self._R = self._W = self._Wh = None
+        self._G = self._Gh = self._cap = self._caph = None
+        self._dev = None
+        self._ozP = None
+
+    def _raw_solve(self, b: np.ndarray, hermitian: bool) -> np.ndarray:
+        # P_adj = P^H: forward solves are the base's H-substitutions
+        return self._base._raw_solve(b, not hermitian)
+
+
 # Problems with more dofs than this use the sparse tier (dense QR of the real
 # embedding needs 2*(2n)^2 f64 ~ 64 n^2 bytes: 10k dofs ~ 6.4 GB).
 DENSE_DOF_LIMIT = int(__import__("os").environ.get("HELMHOLTZ_X_TPU_DENSE_LIMIT", 8000))
 
 # recent host factorizations, newest last (adjoint P^H reuse)
 _recent_host_factors: list = []
+
+# recent banded (device LU) factorizations, newest last (adjoint P^H reuse)
+_recent_banded_factors: list = []
 
 # 'auto': banded device LU on accelerators, host LU on the CPU test backend
 # (the banded factor is MXU-shaped; on CPU SuperLU is the faster oracle).
@@ -657,7 +720,27 @@ def build_shifted_factor(terms, n: int):
         if tier == "dense":
             return ShiftedFactor.from_terms(terms, n)
         if tier == "banded":
-            return BandedShiftedFactor(csr_weighted_scipy(terms), terms=terms)
+            P = csr_weighted_scipy(terms).tocsr()
+            # adjoint reuse: when a recent banded factor's operator is the
+            # conjugate transpose of this one (direct -> adjoint sequence,
+            # or the adjoint finalize at the conjugate eigenvalue), reuse
+            # its device LU with Hermitian substitutions.  NEAR matches
+            # (<= 1e-9 rel: finalize eigenvalues converge independently to
+            # ~1e-8) are accepted — refinement against the exact operator
+            # absorbs the perturbation.
+            for prev in _recent_banded_factors:
+                if prev._P.shape == P.shape and prev._P.nnz == P.nnz:
+                    d = (P - prev._P.conj().T.tocsr())
+                    rel = (abs(d).max() if d.nnz else 0.0) / abs(P).max()
+                    if rel <= 1e-9:
+                        info("- reusing the direct device LU for the "
+                             "adjoint operator (P_adj = P^H).")
+                        build_shifted_factor.last_tier = "banded(adjoint-reuse)"
+                        return BandedAdjointFactor(prev, P, terms=terms)
+            factor = BandedShiftedFactor(P, terms=terms)
+            _recent_banded_factors.append(factor)
+            del _recent_banded_factors[:-2]  # bound memory: keep 2 newest
+            return factor
         P = csr_weighted_scipy(terms).tocsr()
         # adjoint reuse: if a recent host factor's operator is exactly the
         # conjugate transpose of this one (direct -> adjoint sequence),

@@ -51,7 +51,7 @@ from ..ops.csr import csr_device
 from ..utils.logging import info
 from .arnoldi import (EigenResult, EpsOp, PepOp, _apply, _arnoldi_chunk,
                       _arnoldi_expand, _block_arnoldi_expand, _block_orth,
-                      _polar_orth_rows, _solve_wb, _solve_wbb)
+                      _pick_solve, _polar_orth_rows, _solve_wb, _solve_wbb)
 
 
 def _enabled() -> bool:
@@ -225,7 +225,7 @@ def _basis_seed_impl(op, Lz: Z, sig: Z, mode: str, nrefine: int, m: int,
     the split rank-1 basis build (see _BASIS_SPLIT_N)."""
     import jax.numpy as jnp
 
-    solve = _solve_wbb if mode.endswith("b") else _solve_wb
+    solve = _pick_solve(mode)
     W = solve(op.sv, Lz, nrefine)
     if mode.startswith("eps"):
         v0 = W
@@ -248,7 +248,7 @@ def _basis_impl(op, Lz: Z, sig: Z, mode: str, nrefine: int, m: int,
     [W; sigma W] for the companion pencil), fused into ONE dispatch."""
     import jax.numpy as jnp
 
-    solve = _solve_wbb if mode.endswith("b") else _solve_wb
+    solve = _pick_solve(mode)
     W = solve(op.sv, Lz, nrefine)
     if mode.startswith("eps"):
         v0 = W
@@ -292,7 +292,7 @@ def _block_seed_impl(op, Lz: Z, sig: Z, mode: str, nrefine: int, nrows: int,
     split basis build."""
     import jax.numpy as jnp
 
-    solve = _solve_wbb if mode.endswith("b") else _solve_wb
+    solve = _pick_solve(mode)
     W = solve(op.sv, Lz, nrefine)  # (n, k)
     if mode.startswith("eps"):
         v0r, v0i = W.re, W.im
@@ -347,7 +347,7 @@ def _block_basis_impl(op, Lz: Z, sig: Z, mode: str, nrefine: int, depth: int,
     iteration instead, eigensolvers.py:158-178)."""
     import jax.numpy as jnp
 
-    solve = _solve_wbb if mode.endswith("b") else _solve_wb
+    solve = _pick_solve(mode)
     W = solve(op.sv, Lz, nrefine)  # (n, k)
     if mode.startswith("eps"):
         v0r, v0i = W.re, W.im
@@ -370,7 +370,7 @@ def _device_block_basis(factor, pencil, sigma: complex, mode: str,
 
     sv = factor.solve_op()
     sig = Z(jnp.asarray(complex(sigma).real), jnp.asarray(complex(sigma).imag))
-    if mode in ("eps", "epsb"):
+    if mode.startswith("eps"):
         op = EpsOp(sv=sv, C=csr_device(pencil[0]))
         n_op = pencil[0].n
     else:
@@ -387,30 +387,40 @@ def _device_block_basis(factor, pencil, sigma: complex, mode: str,
         from ..utils.metrics import record as _record
         import time as _time
 
+        # PIPELINED dispatch: every block step is enqueued back-to-back
+        # WITHOUT forcing its (mass, surv) scalars — behind the remote-TPU
+        # tunnel a per-step host sync costs 0.4-3 s of pure latency, ~8x
+        # per basis (round-4 BENCH_NOTES: "basis 8-60 s, tunnel-latency
+        # bound").  The saturation/instability exits become RETROACTIVE
+        # row truncation below: junk blocks past an exit are built (cheap,
+        # device-side) but never enter the basis.
+        _t0 = _time.perf_counter()
+        stats = []
+        for b in range(depth):
+            V, (mass, surv) = _block_step_impl(op, V, b, mode, nrefine, k)
+            stats.append((mass, surv))
+        masses = [float(m) for m, _ in stats]  # one sync for the whole build
+        survs = [float(s) for _, s in stats]
+        _record("basis_steps", depth=depth, masses=masses, surviving=survs,
+                wall_s=round(_time.perf_counter() - _t0, 3))
         mass0 = None
         rows_keep = (depth + 1) * k
         for b in range(depth):
-            _t0 = _time.perf_counter()
-            V, (mass, surv) = _block_step_impl(op, V, b, mode, nrefine, k)
-            fs = float(surv)
-            fm = float(mass)
-            _record("basis_step", b=b, mass=fm, surviving=fs,
-                    wall_s=round(_time.perf_counter() - _t0, 3))
-            # Krylov-saturation exit: the in-step polar orthonormalization
-            # zeroed every direction of the new block (its within-block
-            # spread fell below the rank tolerance) — deeper blocks add
-            # nothing; the exited block's rows are zeros (harmless).
-            if fs < 0.5:
-                break
-            # Instability exit: the pre-orth CGS2 residual EXPLODED
-            # relative to the running maximum (measured 1e37x at block 2
-            # on the MICCA operator — no-pivot banded LU element growth).
-            # Deeper blocks are growth junk; exclude the just-stored block
-            # and let the rank-revealing fold work on the genuine rows.
-            if mass0 is not None and fm > 1e12 * mass0:
+            # Krylov saturation: the in-step polar orthonormalization zeroed
+            # every direction of block b+1 — deeper blocks add nothing.
+            # surv >> k means the polar orthonormalization FAILED to converge
+            # (Gram condition beyond f64: solver-junk directions) — that
+            # block is garbage too.
+            if survs[b] < 0.5 or survs[b] > 4 * k:
                 rows_keep = (b + 1) * k
                 break
-            mass0 = fm if mass0 is None else max(mass0, fm)
+            # Instability: the pre-orth CGS2 residual EXPLODED relative to
+            # the running maximum (no-pivot banded LU element growth) —
+            # block b+1 and everything after are growth junk.
+            if mass0 is not None and masses[b] > 1e12 * mass0:
+                rows_keep = (b + 1) * k
+                break
+            mass0 = masses[b] if mass0 is None else max(mass0, masses[b])
         if rows_keep < (depth + 1) * k:
             V = Z(V.re[:rows_keep], V.im[:rows_keep])
     else:
@@ -428,7 +438,7 @@ def _device_basis(factor, pencil, sigma: complex, mode: str, L0: np.ndarray,
 
     sv = factor.solve_op()
     sig = Z(jnp.asarray(complex(sigma).real), jnp.asarray(complex(sigma).imag))
-    if mode in ("eps", "epsb"):
+    if mode.startswith("eps"):
         op = EpsOp(sv=sv, C=csr_device(pencil[0]))
         n_op = pencil[0].n
     else:
@@ -454,17 +464,17 @@ def _device_basis(factor, pencil, sigma: complex, mode: str, L0: np.ndarray,
 def _fold_basis(Vdev: Z, W: np.ndarray, n: int, include_w: bool) -> np.ndarray:
     """Fold the C^{2n} companion rows into C^n and re-orthonormalize.
 
-    Default: read the (nonzero) rows back and run the rank-revealing host
-    SVD — exactly the round-3-proven pipeline; with the in-step saturation
-    exit the readback is typically ~50 MB, not the full deep stack.
+    Default (round 5): the device-resident staged-Gram fold — no (rows, 2n)
+    readback (~160 MB for a full-depth MICCA basis behind the tunnel), no
+    O(rows^2 n) host SVD.  Its round-4 caveat — element-growth junk rows
+    surviving as genuine directions — is gone: the static-pivoted banded LU
+    (ops/banded.py) bounds the growth at the source and the retroactive
+    instability/orthonormalization-failure truncation in
+    `_device_block_basis` cuts any junk blocks BEFORE the fold.
 
-    HELMHOLTZ_X_TPU_FOLD=staged selects the device-resident staged-Gram
-    fold instead (no big readback, no host SVD).  It is numerically sound
-    on clean row stacks (tests/test_block_basis) but keeps the no-pivot
-    LU's element-growth junk rows as genuine directions, whose spurious
-    Ritz values can stall the projected FPI's mode tracking on hard 3D
-    cases — hence not yet the default."""
-    if os.environ.get("HELMHOLTZ_X_TPU_FOLD", "svd") == "staged":
+    HELMHOLTZ_X_TPU_FOLD=svd restores the round-3 host-SVD pipeline
+    (readback + rank-revealing SVD)."""
+    if os.environ.get("HELMHOLTZ_X_TPU_FOLD", "staged") == "staged":
         return _fold_orth_device(Vdev, W, n, include_w)
     rows = np.asarray(Vdev.re) + 1j * np.asarray(Vdev.im)
     rows = rows[np.linalg.norm(rows, axis=1) > 1e-14]
@@ -515,9 +525,10 @@ def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
     R = np.asarray(R, dtype=np.complex128).reshape(A.n, -1)
     k = L.shape[1]
 
+    herm = "h" if getattr(factor, "herm_factor", False) else ""
     if k == 1 and backend in ("dense", "banded"):
-        mode = ("eps" if backend == "dense" else "epsb") if eps_kind else (
-            "pep" if backend == "dense" else "pepb")
+        mode = ("eps" if backend == "dense" else "epsb" + herm) if eps_kind \
+            else ("pep" if backend == "dense" else "pepb" + herm)
         pencil = (C,) if eps_kind else (B, C)
         Vdev, W = _device_basis(factor, pencil, sigma, mode, L[:, 0], m,
                                 nrefine)
@@ -538,8 +549,8 @@ def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
 
     if backend in ("dense", "banded"):
         # rank k > 1 on a device tier: single-dispatch block-Krylov basis
-        mode = ("eps" if backend == "dense" else "epsb") if eps_kind else (
-            "pep" if backend == "dense" else "pepb")
+        mode = ("eps" if backend == "dense" else "epsb" + herm) if eps_kind \
+            else ("pep" if backend == "dense" else "pepb" + herm)
         pencil = (C,) if eps_kind else (B, C)
         Vdev, W = _device_block_basis(factor, pencil, sigma, mode, L, m,
                                       nrefine)

@@ -93,9 +93,11 @@ def test_manufactured_vs_committed_matlab_data():
     f_b_real f_b_imag f_a_real f_a_imag over Z = linspace(-10,10,N), where
     the b sweep is the pure-imaginary impedance Z=ib and the a sweep the
     pure-real Z=a; the reference overlays them in its plot only,
-    manufacturedHelmholtz.py:59-93).  The file carries 0.1-Hz precision, so
-    the gate is 0.2 Hz absolute on both parts after solving OUR 2D FEM
-    problem at the same impedances."""
+    manufacturedHelmholtz.py:59-93).  The gate is 0.6 Hz absolute on both
+    parts after solving OUR 2D FEM problem at the same impedances: the file
+    carries 0.1-Hz-rounded ANALYTIC dispersion roots, while our value adds
+    the P1 discretization error of the 160x40 mesh (~0.4 Hz at 600 Hz, cf.
+    the Richardson sweep above), so 0.6 Hz = file rounding + mesh error."""
     path = ("/root/reference/numerical_examples/manufacturedSolution/"
             "matlab_data/analytical.txt")
     data = np.loadtxt(path)

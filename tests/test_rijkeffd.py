@@ -55,6 +55,11 @@ def _solve(mesh_path, problem_type="direct"):
     return omega
 
 
+# Im-sign convention: BASELINE.md prints the ShapeDerivatives LOG's
+# -0.866919j, but the committed machine-readable result
+# (Results/Original/eigenvalues.txt, loaded verbatim below) stores the
+# DIRECT eigenvalue as +0.8669193j with the adjoint as its conjugate — the
+# log line is the adjoint's.  We gate on the committed txt values.
 @pytest.mark.slow
 @pytest.mark.parametrize("problem_type,expected", [
     ("direct", 1156.7908405380945 + 0.8669193409110441j),
