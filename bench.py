@@ -136,6 +136,82 @@ def bench_micca():
     detail["device_bind_s"] = bind_seconds()
     detail["baseline"] = ("reference serial direct+adjoint 281.94 s; "
                           "8-rank MPI 26.2 s (activeParallel.log)")
+
+    # Solve-level FLOP/MFU aggregate (device tiers only): dominant MXU work
+    # per solve = one block-banded LU + the block-Krylov basis solves
+    # (substitutions + Ozaki refinement SpMMs), utils/flops.py formulas.
+    geom = getattr(build_shifted_factor, "last_geometry", None)
+    if geom is not None and "banded" in detail.get("direct_tier", ""):
+        from helmholtz_x_tpu.utils.flops import (
+            MXU_BF16_PEAK, banded_factor_flops, banded_substitute_flops,
+            ozaki_spmm_flops)
+
+        nbkp, W, nb = geom
+        k, depth, nref = 16, 8, 4
+        # per solve: factor + (seed + depth block steps) x (1 + nref)
+        # substitutions of k RHS + nref Ozaki refinement SpMMs per step
+        nsolve = (1 + depth) * (1 + nref)
+        fl = (banded_factor_flops(nbkp - W, W, nb)
+              + nsolve * banded_substitute_flops(nbkp, W, nb, 2 * k)
+              + (1 + depth) * nref * ozaki_spmm_flops(
+                  int(0.6 * nbkp * (2 * W + 1)), 6, nb, 4 * k))
+        both = 2 * fl if "banded" in detail.get("adjoint_tier", "") else fl
+        secs = walls["direct"] + walls["adjoint"]
+        detail["device_flops_est"] = float(f"{both:.3g}")
+        detail["device_flops_per_s"] = float(f"{both / secs:.3g}")
+        detail["mfu_vs_bf16_peak"] = round(both / secs / MXU_BF16_PEAK, 4)
+
+    # VERDICT round-4 item 7: driver-visible Newton + mode-sweep numbers
+    # (best-effort; never perturbs the headline value computed above).
+    if os.environ.get("HELMHOLTZ_X_TPU_BENCH_EXTRAS", "1") not in (
+            "0", "false", "no"):
+        from helmholtz_x_tpu.solvers.newton import newton_solver
+
+        try:
+            D.assemble_submatrices("direct")
+            t3 = time.perf_counter()
+            om_n, _ = newton_solver(matrices, D, 3260 + 460j, i=1, nev=2,
+                                    tol=1e-8)
+            w_n = time.perf_counter() - t3
+            rel = abs(om_n - OMEGA_DIR) / abs(OMEGA_DIR)
+            assert rel < 1e-6, om_n
+            detail["newton_s"] = round(w_n, 2)
+            detail["newton_vs_serial"] = round(687.9 / w_n, 2)
+            detail["newton_vs_8rank"] = round(72.2 / w_n, 2)
+            detail["newton_note"] = ("adaptive Newton, eigenvector-tracked "
+                                     "mode 1 == FPI root (ref NewtonSolver/"
+                                     "active.log 687.9 s serial, 72.2 s "
+                                     "8-rank)")
+        except Exception as e:
+            detail["newton_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            from helmholtz_x_tpu.solvers.sweep import sweep_targets
+
+            expected = {  # Modes/Parallel{t}.log converged eigenvalues
+                1000.0: 928.879250 - 527.878099j,
+                2000.0: 1830.046708 - 630.320492j,
+                5000.0: 4527.152561 + 4.881680j,
+                9000.0: 8258.815935 - 5.191353j,
+                10000.0: 10164.920306 - 21.952976j,
+                11000.0: 10820.855924 + 346.966028j,
+            }
+            t4 = time.perf_counter()
+            res = sweep_targets(matrices, D, sorted(expected), nev=4, i=0,
+                                tol=1e-8)
+            w_s = time.perf_counter() - t4
+            for t, E in res.items():
+                om = np.sqrt(E.getEigenvalue(0)) if E.kind == "eps" \
+                    else E.getEigenvalue(0)
+                ref = expected[t.real]
+                assert abs(om - ref) / abs(ref) < 1e-6, (t, om)
+            detail["modes_sweep_s"] = round(w_s, 2)
+            detail["modes_sweep_vs_8rank"] = round(76.1 / w_s, 2)
+            detail["modes_sweep_note"] = ("6 reference targets, each gated "
+                                          "1e-6 (ref Modes/Parallel*.log sum "
+                                          "76.1 s on 8 ranks)")
+        except Exception as e:
+            detail["modes_sweep_error"] = f"{type(e).__name__}: {e}"[:200]
+
     return {
         "metric": "micca_fullannulus_fpi_direct_adjoint_wall_s",
         "value": round(wall, 2),
@@ -272,9 +348,20 @@ def main():
         # clean teardown releases the remote device session (otherwise the
         # NEXT process waits out a server-side hold of several minutes)
         sys.exit(0)
-    # The warm-up thread is still blocked inside the remote bind call;
-    # interpreter teardown with a live PJRT stream aborts in C++.  The JSON
-    # is out — exit without running destructors.
+    # The warm-up thread is still blocked inside the remote session claim.
+    # Dying NOW leaves that claim pending server-side: the terminal later
+    # grants the session to this dead client and waits out the full grant
+    # timeout before releasing it — poisoning the NEXT process (including
+    # the next driver bench) with a multi-minute bind stall.  The JSON is
+    # already out, so linger until the claim resolves (bounded), then exit
+    # cleanly so the session is released immediately.
+    from helmholtz_x_tpu.utils.warmup import wait_device
+
+    linger = float(os.environ.get("HELMHOLTZ_X_TPU_BENCH_LINGER_S", "900"))
+    if wait_device(linger):
+        sys.exit(0)
+    # claim still unresolved after the cap: abrupt exit is all that's left
+    # (interpreter teardown with a live PJRT stream aborts in C++).
     os._exit(0)
 
 

@@ -240,6 +240,228 @@ def box_tet(lx: float, ly: float, lz: float, nx: int, ny: int, nz: int,
     return mesh
 
 
+def _disk_points_radii(radii):
+    """Polar disk point set with EXPLICIT ring radii (ring i=1..nr at
+    radii[i-1] with 6*i equally spaced nodes) — the stepped-duct meshes
+    need a ring at exactly the narrow radius so wide and narrow sections
+    share conforming nodes.  Returns (points (n,2), ring index list)."""
+    pts = [(0.0, 0.0)]
+    ring_start = [0, 1]
+    for i, rad in enumerate(radii, start=1):
+        cnt = 6 * i
+        ang = np.arange(cnt) * (2 * np.pi / cnt)
+        for a in ang:
+            pts.append((rad * np.cos(a), rad * np.sin(a)))
+        ring_start.append(ring_start[-1] + cnt)
+    return np.asarray(pts), ring_start
+
+
+def stepped_duct_tet(spans, r_wide: float, r_narrow: float, h: float,
+                     plane_tags: dict, lateral_tags, volume_tag: int = 1) -> Mesh:
+    """Structured tet mesh of a z-aligned duct whose radius steps between
+    ``r_wide`` and ``r_narrow`` (the FlamedDuct .step geometry class,
+    reference: Longitudinal/NetworkCode/FlamedDuct/generateMesh.py imports
+    geomDir/tube.step; see flamed_duct_tet for the exact case parameters).
+
+    ``spans``: ordered (z0, z1, radius) segments (radius in {r_wide,
+    r_narrow}); ``plane_tags``: {z: tag} for horizontal boundary faces
+    (inlet/outlet disks and the step annuli); ``lateral_tags``: list of
+    (z0, z1, tag) intervals for the cylindrical walls; ``h``: target edge
+    length.
+
+    Conformity: the disk triangulation places a ring at EXACTLY r_narrow,
+    so narrow sections mesh the sub-disk PREFIX of the wide disk's point
+    set — shared planes need no node matching, and the step annulus faces
+    are the wide-disk triangles beyond the sub-disk (count 6*(nr^2-n2^2)).
+    """
+    n2 = max(2, int(round(r_narrow / h)))
+    n1 = max(1, int(round((r_wide - r_narrow) / h)))
+    radii = np.concatenate([
+        r_narrow * np.arange(1, n2 + 1) / n2,
+        r_narrow + (r_wide - r_narrow) * np.arange(1, n1 + 1) / n1])
+    nr = n2 + n1
+    disk, ring_start = _disk_points_radii(radii)
+    tris_full = _orient2d(disk, _disk_triangles(nr, ring_start))
+    np_full = len(disk)
+    np_sub = ring_start[n2 + 1]
+    tris_sub = tris_full[: 6 * n2 * n2]  # annuli are appended ring by ring
+
+    # global plane list: z + wideness (a plane shared by a wide and a
+    # narrow segment carries the full disk)
+    zlist, wides, seg_of_layer = [], [], []
+    for si, (z0, z1, r) in enumerate(spans):
+        seg_wide = abs(r - r_wide) < 1e-12
+        nzseg = max(1, int(round((z1 - z0) / h)))
+        zs = np.linspace(z0, z1, nzseg + 1)
+        if si == 0:
+            zlist.append(zs[0])
+            wides.append(seg_wide)
+        else:
+            wides[-1] = wides[-1] or seg_wide
+        for z in zs[1:]:
+            zlist.append(float(z))
+            wides.append(seg_wide)
+            seg_of_layer.append(si)
+
+    offs = []
+    pts = []
+    for z, wide in zip(zlist, wides):
+        offs.append(sum(len(p) for p in pts))
+        d = disk if wide else disk[:np_sub]
+        pts.append(np.column_stack([d[:, 0], d[:, 1], np.full(len(d), z)]))
+    points = np.concatenate(pts, axis=0)
+
+    tets = []
+    for layer, si in enumerate(seg_of_layer):
+        tri = tris_full if abs(spans[si][2] - r_wide) < 1e-12 else tris_sub
+        tets.extend(_prisms_to_tets(tri, tri + offs[layer],
+                                    tri + offs[layer + 1]))
+    cells = _fix_tet_orientation(points, np.asarray(tets, dtype=np.int64))
+
+    # boundary faces -> tags: horizontal faces by their plane's tag,
+    # lateral faces by centroid-z interval
+    faces = {}
+    for tet in cells:
+        for f in ((0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)):
+            tri_f = tuple(sorted((tet[f[0]], tet[f[1]], tet[f[2]])))
+            faces[tri_f] = faces.get(tri_f, 0) + 1
+    facets, fvals = [], []
+    for tri_f, cnt in faces.items():
+        if cnt != 1:
+            continue
+        zz = points[list(tri_f), 2]
+        if zz.max() - zz.min() < 1e-12:
+            z = float(zz[0])
+            tag = None
+            for zp, tp in plane_tags.items():
+                if abs(z - zp) < 1e-9:
+                    tag = tp
+                    break
+            if tag is None:
+                raise ValueError(f"untagged horizontal boundary face at z={z}")
+        else:
+            zc = float(zz.mean())
+            tag = None
+            for z0, z1, tp in lateral_tags:
+                if z0 - 1e-9 <= zc <= z1 + 1e-9:
+                    tag = tp
+                    break
+            if tag is None:
+                raise ValueError(f"untagged lateral boundary face at z={zc}")
+        facets.append(tri_f)
+        fvals.append(tag)
+
+    mesh = Mesh(points=points, cells=cells.astype(np.int32), dim=3)
+    mesh.cell_tag_indices = np.arange(len(cells), dtype=np.int32)
+    mesh.cell_tag_values = np.full(len(cells), volume_tag, dtype=np.int32)
+    mesh.facets = np.asarray(facets, dtype=np.int32)
+    mesh.facet_tag_values = np.asarray(fvals, dtype=np.int32)
+    return mesh
+
+
+def annular_sector_tet(r_in: float, r_out: float, length: float,
+                       n_sectors: int = 16, nr: int = 3, nphi: int = 4,
+                       nz: int = 16, z0: float = 0.0,
+                       tags: dict | None = None) -> Mesh:
+    """Structured tet mesh of a 1/n annular sector with Master/Slave
+    boundary tags for the Bloch reduction.
+
+    Reproduces the reference's annular-sector tag convention
+    (AnnularCombustor/Micca/bloch/generateMesh.py:374-392: the
+    phi=0 azimuthal cut is the Master surface, tag 12; the phi=2 pi/n cut
+    is the Slave, tag 13), so ``Blochifier(geometry, {..., 12: "Master",
+    13: "Slave"}, N)`` consumes the result directly.  Slave nodes are the
+    EXACT z-rotation images of master nodes by construction (structured
+    polar grid), which is the property the geometric Bloch pairing needs;
+    ``mesh.stitch.rotational_stitch(mesh, n_sectors)`` revolves it into
+    the conforming full annulus.
+
+    Default facet tags: 1 = inlet (z=z0), 2 = outlet (z=z0+length),
+    3 = outer wall, 4 = inner wall, 12 = master, 13 = slave; single cell
+    group 1.
+    """
+    tags = tags or {"inlet": 1, "outlet": 2, "outer": 3, "inner": 4,
+                    "master": 12, "slave": 13}
+    theta = 2 * np.pi / n_sectors
+    rs = np.linspace(r_in, r_out, nr + 1)
+    phis = np.linspace(0.0, theta, nphi + 1)
+    zs = np.linspace(z0, z0 + length, nz + 1)
+    R, PHI, Zc = np.meshgrid(rs, phis, zs, indexing="ij")
+    points = np.column_stack([(R * np.cos(PHI)).ravel(),
+                              (R * np.sin(PHI)).ravel(), Zc.ravel()])
+
+    def vid(i, j, k):
+        return (i * (nphi + 1) + j) * (nz + 1) + k
+
+    kuhn = [(0, 1, 3, 7), (0, 1, 7, 5), (0, 5, 7, 4),
+            (0, 3, 2, 7), (0, 2, 6, 7), (0, 6, 4, 7)]
+    tets = []
+    for i in range(nr):
+        for j in range(nphi):
+            for k in range(nz):
+                corner = [vid(i, j, k), vid(i + 1, j, k), vid(i, j + 1, k),
+                          vid(i + 1, j + 1, k), vid(i, j, k + 1),
+                          vid(i + 1, j, k + 1), vid(i, j + 1, k + 1),
+                          vid(i + 1, j + 1, k + 1)]
+                for t in kuhn:
+                    tets.append([corner[v] for v in t])
+    cells = _fix_tet_orientation(points, np.asarray(tets, dtype=np.int64))
+
+    rr = np.hypot(points[:, 0], points[:, 1])
+    ph = np.arctan2(points[:, 1], points[:, 0])
+    zz = points[:, 2]
+    eps = 1e-12 * max(r_out, abs(z0) + length)
+    faces = {}
+    for tet in cells:
+        for f in ((0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)):
+            tri_f = tuple(sorted((tet[f[0]], tet[f[1]], tet[f[2]])))
+            faces[tri_f] = faces.get(tri_f, 0) + 1
+    facets, fvals = [], []
+    for tri_f, cnt in faces.items():
+        if cnt != 1:
+            continue
+        v = list(tri_f)
+        if np.all(np.abs(zz[v] - z0) < eps):
+            tag = tags["inlet"]
+        elif np.all(np.abs(zz[v] - (z0 + length)) < eps):
+            tag = tags["outlet"]
+        elif np.all(np.abs(rr[v] - r_out) < eps):
+            tag = tags["outer"]
+        elif np.all(np.abs(rr[v] - r_in) < eps):
+            tag = tags["inner"]
+        elif np.all(np.abs(ph[v]) < 1e-12):
+            tag = tags["master"]
+        elif np.all(np.abs(ph[v] - theta) < 1e-12):
+            tag = tags["slave"]
+        else:  # pragma: no cover
+            raise ValueError("unclassified boundary face")
+        facets.append(tri_f)
+        fvals.append(tag)
+
+    mesh = Mesh(points=points, cells=cells.astype(np.int32), dim=3)
+    mesh.cell_tag_indices = np.arange(len(cells), dtype=np.int32)
+    mesh.cell_tag_values = np.ones(len(cells), dtype=np.int32)
+    mesh.facets = np.asarray(facets, dtype=np.int32)
+    mesh.facet_tag_values = np.asarray(fvals, dtype=np.int32)
+    return mesh
+
+
+def flamed_duct_tet(h: float = 0.010) -> Mesh:
+    """The FlamedDuct case geometry with the reference's facet-tag
+    conventions (decoded from the committed MeshDir/mesh XDMF: 1 m duct,
+    wide radius 0.12615 m for z in [0, 0.2] and [0.5, 1.0], narrow radius
+    0.0892 m between; tags 3/8 = choked inlet/outlet disks, 2/6 = step
+    annuli, 1/4/5/7 = lateral walls split at the reference plane z=0.35;
+    volume physical group 99, reference generateMesh.py:41)."""
+    R1, R2 = 0.12615, 0.0892
+    spans = [(0.0, 0.2, R1), (0.2, 0.35, R2), (0.35, 0.5, R2),
+             (0.5, 1.0, R1)]
+    plane_tags = {0.0: 3, 0.2: 2, 0.5: 6, 1.0: 8}
+    lateral = [(0.0, 0.2, 1), (0.2, 0.35, 4), (0.35, 0.5, 5), (0.5, 1.0, 7)]
+    return stepped_duct_tet(spans, R1, R2, h, plane_tags, lateral,
+                            volume_tag=99)
+
+
 # ---------------------------------------------------------------------------
 # gmsh .msh 4.1 ASCII writer
 

@@ -185,11 +185,17 @@ def dist_projected_fpi(operators, D, target: complex, mesh: Mesh,
 
     info("--> Fixed point iteration started "
          f"(distributed resolvent-projection, {n_devices} shards).\n")
+    import time as _time
+
+    phases: dict = {}
+    t0 = _time.perf_counter()
     solver = DistShiftedSolver(P_scipy, mesh, n_devices, m_krylov=m_krylov,
                                inner_tol=inner_tol)
+    phases["setup_s"] = _time.perf_counter() - t0
     info(f"- Distributed shifted solver ready ({solver.layout} SpMV layout, "
          f"halo width {solver.hw}).")
 
+    t0 = _time.perf_counter()
     W = solver.solve_block(L)
     relW = float(np.linalg.norm(P_scipy @ W - L)
                  / max(np.linalg.norm(L), 1e-300))
@@ -217,11 +223,89 @@ def dist_projected_fpi(operators, D, target: complex, mesh: Mesh,
                                      block_apply=block_apply2n)
         halves = np.concatenate([rows2n[:, :n], rows2n[:, n:]], axis=0)
         V = _orth_rows(np.concatenate([halves, W.T], axis=0))
+    phases["basis_s"] = _time.perf_counter() - t0
 
-    proj = project(V, A, B, C, L, R)
+    # Galerkin projection with SHARDED SpMMs: the m' basis-column products
+    # A V^T / B V^T / C V^T run over the device mesh (halo layout); only
+    # the tiny (m', m') recombinations stay on host.
+    t0 = _time.perf_counter()
+    proj = project_dist(solver, V, A, B, C, L, R)
+    phases["project_s"] = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
     lam, Y, iters, sc = fpi_on_projection(proj, D, target, nev, i, tol,
                                           maxiter, problem_type, eps_kind,
                                           ops=(A, B, C, L, R))
-    return finalize_projected(proj, A, B, C, L, R, lam, Y, iters, sc, sigma,
-                              nev, i, eps_kind, print_results,
-                              solve_block=solver.solve_block)
+    phases["fpi_s"] = _time.perf_counter() - t0
+
+    def _solve_at(lam0: complex, ek: bool):
+        """Sharded polish solver for Q(lam0) (finalize inverse iteration)."""
+        Q = (Asp + lam0 * Csp if ek
+             else Asp + lam0 * Bsp + lam0 * lam0 * Csp)
+        s2 = DistShiftedSolver(Q, mesh, n_devices, m_krylov=m_krylov,
+                               inner_tol=inner_tol)
+        return s2.solve_block
+
+    t0 = _time.perf_counter()
+    res = finalize_projected(proj, A, B, C, L, R, lam, Y, iters, sc, sigma,
+                             nev, i, eps_kind, print_results,
+                             solve_at=_solve_at)
+    phases["finalize_s"] = _time.perf_counter() - t0
+    # solve-phase work (basis solves, projection SpMMs, finalize polish
+    # solves) runs sharded; host-side remains the CGS2 re-orthogonalization
+    # inside the basis loop, the (m', m') recombinations and the m x m FPI
+    dist_s = phases["basis_s"] + phases["project_s"] + phases["finalize_s"]
+    total_s = dist_s + phases["fpi_s"]
+    phases["distributed_fraction"] = round(dist_s / max(total_s, 1e-9), 3)
+    dist_projected_fpi.last_phases = {kk: (round(v, 3) if isinstance(v, float)
+                                           else v)
+                                      for kk, v in phases.items()}
+    from ..utils.metrics import record
+
+    record("dist_fpi_phases", **dist_projected_fpi.last_phases)
+    return res
+
+
+def project_dist(solver: DistShiftedSolver, V: np.ndarray, A, B, C,
+                 L: np.ndarray, R: np.ndarray) -> ProjectedPencil:
+    """Galerkin projection with the operator SpMMs sharded over the mesh.
+
+    Each of A, B, C is partitioned once onto the solver's halo layout (same
+    RCM permutation and padding) and applied to all m' basis columns in one
+    dispatch; the (m', m') recombination matmuls are tiny and stay on host.
+    Falls back to the host-scipy `project` when the solver runs the
+    all_gather layout (bandwidth too wide for halos)."""
+    if solver.layout != "halo":
+        return project(V, A, B, C, L, R)
+    from .halo import make_halo_spmm, partition_halo_csr
+
+    n = A.n
+    Vc = np.conj(V)
+    Xt = V.T  # (n, m') columns in original ordering
+
+    def mm(Msp):
+        import scipy.sparse as sp
+
+        ap = sp.csr_matrix(Msp)[solver.perm][:, solver.perm].tocsr()
+        pad = sp.lil_matrix((solver.n_pad, solver.n_pad), dtype=np.complex128)
+        pad[:n, :n] = ap
+        pad = pad.tocsr()
+        with solver.mesh:
+            H_sh, _, n_local, hw = partition_halo_csr(
+                pad, solver.n_devices, solver.mesh, hw=solver.hw)
+            fn = make_halo_spmm(solver.mesh, H_sh, hw, n_local,
+                                solver.n_devices)
+            Xp = np.zeros((solver.n_pad, Xt.shape[1]), dtype=np.complex128)
+            Xp[:n] = Xt[solver.perm]
+            rz = shard_block(Xp, solver.n_pad, solver.n_devices, solver.mesh)
+            yr, yi = fn(H_sh, rz.re, rz.im)
+            Y = (np.asarray(yr) + 1j * np.asarray(yi))
+            Y = Y.transpose(1, 0, 2).reshape(Xt.shape[1], solver.n_pad).T
+        return Y[: n][solver.iperm]
+
+    Ah = Vc @ mm(A.to_scipy())
+    Ch = Vc @ mm(C.to_scipy())
+    Bh = Vc @ mm(B.to_scipy()) if B is not None else None
+    L = np.asarray(L, dtype=np.complex128).reshape(n, -1)
+    R = np.asarray(R, dtype=np.complex128).reshape(n, -1)
+    return ProjectedPencil(V=V, Ah=Ah, Bh=Bh, Ch=Ch, Lh=Vc @ L, Rh=V @ R)

@@ -182,8 +182,27 @@ def _fold_orth_device(V: Z, W: np.ndarray, n: int, include_w: bool,
         out.append((Br, Bi))
     if not out:
         return np.zeros((0, n), dtype=np.complex128)
-    rows = [np.asarray(br) + 1j * np.asarray(bi) for br, bi in out]
-    return np.concatenate(rows, axis=0)
+    # FINAL Loewdin polish: the staged recombinations leave the rows
+    # orthonormal only to ~eps/stage_cut (~2e-8), which biases the Galerkin
+    # projection enough to put a ~|omega| * 2e-8 floor under |domega| — the
+    # projected FPI then oscillates above its 1e-8 stopping tolerance
+    # (observed on the MICCA device run).  One more Gram + G^{-1/2}
+    # recombination of the CONCATENATED result costs two tiny device
+    # matmuls and, because G ~ I + O(2e-8) is perfectly conditioned,
+    # restores orthonormality to ~1e-15.
+    import jax.numpy as jnp
+
+    Br = jnp.concatenate([br for br, _ in out], axis=0)
+    Bi = jnp.concatenate([bi for _, bi in out], axis=0)
+    Gre, Gim = _gram_impl(Br, Bi)
+    G = np.asarray(Gre) + 1j * np.asarray(Gim)
+    lam, U = np.linalg.eigh((G + G.conj().T) / 2)
+    keep = lam > 1e-8 * max(float(lam[-1]), 1e-300)
+    T = U[:, keep] / np.sqrt(lam[keep])
+    Fr, Fi = _recombine_impl(Br, Bi,
+                             jnp.asarray(np.ascontiguousarray(T.real)),
+                             jnp.asarray(np.ascontiguousarray(T.imag)))
+    return np.asarray(Fr) + 1j * np.asarray(Fi)
 
 
 def _host_block_arnoldi(apply_fn, start: np.ndarray, depth: int,
@@ -858,11 +877,14 @@ def finalize_projected(proj: ProjectedPencil, A, B, C, L, R, lam, Y, iters,
                        sc: complex, sigma: complex, nev: int, i: int,
                        eps_kind: bool, print_results: bool,
                        gate: Optional[float] = None,
-                       solve_block=None) -> Optional[EigenResult]:
+                       solve_block=None, solve_at=None) -> Optional[EigenResult]:
     """Recover full-space eigenpairs, verify the wanted one against the EXACT
     operator, and package an EigenResult (None when the gate rejects).
-    `solve_block` ((n, j) -> (n, j) with the sigma-shifted factor) enables
-    the inverse-iteration polish when the raw projection misses the gate."""
+    When the raw projection misses the gate, an inverse-iteration polish
+    with a factorization AT the converged eigenvalue runs; ``solve_at``
+    (``(lam0, eps_kind) -> (n, j)-block solve of Q(lam0)``) lets the
+    distributed path supply a SHARDED solver for it instead of the local
+    ``build_shifted_factor`` default."""
     nkeep = min(max(nev, 2), len(lam))
     vecs = proj.V.T @ Y[:, :nkeep]
     vecs /= np.linalg.norm(vecs, axis=0, keepdims=True)
@@ -892,17 +914,23 @@ def finalize_projected(proj: ProjectedPencil, A, B, C, L, R, lam, Y, iters,
         Lm = np.asarray(L, dtype=np.complex128).reshape(A.n, -1)
         Rm = np.asarray(R, dtype=np.complex128).reshape(A.n, -1)
         lam0 = complex(lam[i])
-        if eps_kind:
-            terms2 = [(1.0, A), (lam0, C)]
+        if solve_at is not None:
+            # distributed path (parallel/fpi.py): the caller supplies the
+            # sharded solver factory for Q(lam0) — the polish solves run
+            # over the device mesh instead of a local factorization
+            _solve2 = solve_at(lam0, eps_kind)
         else:
-            terms2 = [(1.0, A), (lam0, B), (lam0 * lam0, C)]
-        factor2 = build_shifted_factor(terms2, A.n)
+            if eps_kind:
+                terms2 = [(1.0, A), (lam0, C)]
+            else:
+                terms2 = [(1.0, A), (lam0, B), (lam0 * lam0, C)]
+            factor2 = build_shifted_factor(terms2, A.n)
 
-        def _solve2(Bm):
-            if isinstance(factor2, ShiftedFactor):
-                return np.stack([_solve_np(factor2, Bm[:, j])
-                                 for j in range(Bm.shape[1])], axis=1)
-            return np.asarray(factor2.solve_P(Bm))
+            def _solve2(Bm):
+                if isinstance(factor2, ShiftedFactor):
+                    return np.stack([_solve_np(factor2, Bm[:, j])
+                                     for j in range(Bm.shape[1])], axis=1)
+                return np.asarray(factor2.solve_P(Bm))
 
         lam_p, x_p, rel = _polish_eigenpair(
             _solve2, A, B, C, Lm, Rm, sc, lam0, lam0,

@@ -1,19 +1,25 @@
 """Offline mesh regeneration CLI (the Lm-layer replacement for the
 reference's per-case gmsh `generateMesh.py` scripts).
 
-    python tools/generate_case_mesh.py rijke3d  [out_prefix] [--binary]
-    python tools/generate_case_mesh.py duct     [out_prefix] [--binary]
-    python tools/generate_case_mesh.py rijke2d  [out_prefix]
-    python tools/generate_case_mesh.py rijke1d  [out_prefix]
+    python tools/generate_case_mesh.py rijke3d    [out_prefix] [--binary]
+    python tools/generate_case_mesh.py duct       [out_prefix] [--binary]
+    python tools/generate_case_mesh.py flamedduct [out_prefix] [--binary] [--h=0.010]
+    python tools/generate_case_mesh.py sector     [out_prefix] [--binary]
+    python tools/generate_case_mesh.py annulus    [out_prefix] [--binary]
+    python tools/generate_case_mesh.py rijke2d    [out_prefix]
+    python tools/generate_case_mesh.py rijke1d    [out_prefix]
 
 Writes <out_prefix>.msh (gmsh 4.1; --binary for file-type 1) and
 <out_prefix>.xdmf/.h5 so either loader path can consume the result.
 Geometry parameters follow the reference cases:
 
-    rijke3d: cylinder d=0.047 m, L=1 m (RijkeTube3D/generateMesh.py)
-    duct:    0.25 x 0.25 x 1.0 m box duct (FlamedDuct-like, structured)
-    rijke2d: 1.0 x 0.047 rectangle     (RijkeTube2D)
-    rijke1d: unit interval, 3000 cells (RijkeTube1D)
+    rijke3d:    cylinder d=0.047 m, L=1 m (RijkeTube3D/generateMesh.py)
+    duct:       0.25 x 0.25 x 1.0 m box duct (structured Kuhn box)
+    flamedduct: the FlamedDuct stepped duct (generateMesh.py .step import;
+                radii 0.12615/0.0892 m, reference facet tags 1-8, --h sets
+                the target edge length — 0.010 matches the reference lc)
+    rijke2d:    1.0 x 0.047 rectangle  (RijkeTube2D)
+    rijke1d:    unit interval, 3000 cells (RijkeTube1D)
 """
 
 import os
@@ -43,6 +49,31 @@ def main():
         from helmholtz_x_tpu.mesh.generate import box_tet, write_msh41
 
         mesh = box_tet(0.25, 0.25, 1.0, 8, 8, 40)
+        write_msh41(out + ".msh", mesh, binary=binary)
+        write_xdmf_mesh(out)
+    elif case == "flamedduct":
+        from helmholtz_x_tpu.mesh.generate import flamed_duct_tet, write_msh41
+
+        h = 0.010
+        for a in sys.argv[1:]:
+            if a.startswith("--h="):
+                h = float(a.split("=", 1)[1])
+        mesh = flamed_duct_tet(h=h)
+        write_msh41(out + ".msh", mesh, binary=binary)
+        write_xdmf_mesh(out)
+    elif case in ("sector", "annulus"):
+        # MICCA combustion-chamber annular sector (R 0.15-0.20 m, L 0.2 m,
+        # 16 sectors) with Master(12)/Slave(13) tags; 'annulus' revolves it
+        # into the conforming full annulus (Master/Slave dropped)
+        from helmholtz_x_tpu.mesh.generate import (annular_sector_tet,
+                                                   write_msh41)
+
+        mesh = annular_sector_tet(0.15, 0.20, 0.20, n_sectors=16,
+                                  nr=4, nphi=6, nz=24)
+        if case == "annulus":
+            from helmholtz_x_tpu.mesh.stitch import rotational_stitch
+
+            mesh = rotational_stitch(mesh, 16, drop_facet_tags=(12, 13))
         write_msh41(out + ".msh", mesh, binary=binary)
         write_xdmf_mesh(out)
     elif case in ("rijke2d", "rijke1d"):
