@@ -462,17 +462,35 @@ class BandedShiftedFactor:
         A, B, C = self._dev
         import jax as _jax
 
-        if (self._ozP is None and _jax.default_backend() != "cpu"
+        if (self._ozP is None and not getattr(self, "_oz_skipped", False)
+                and _jax.default_backend() != "cpu"
                 and os.environ.get("HELMHOLTZ_X_TPU_OZAKI", "1")
                 not in ("0", "false", "no")):
-            from ..ops.ozaki import pack_ozaki_band_device
-            from ..utils.metrics import timed as _timed
+            # HBM gate: the bf16 chunk tensor costs ~(occupied blocks) * K *
+            # nb^2 * 4 bytes; at >=200k dofs a wide-band 3D operator would
+            # need ~10+ GB — skip the pack there and let refinement matvecs
+            # fall back to the exact f64 CSR SpMV (gather-bound but
+            # nnz-proportional).
+            nb_ = int(self.fac.nb)
+            nbkp_ = int(self.fac.band_re.shape[0])
+            W_ = int(self.fac.W)
+            est_bytes = int(0.7 * nbkp_ * (2 * W_ + 1)) * 6 * nb_ * nb_ * 4
+            budget = float(os.environ.get(
+                "HELMHOLTZ_X_TPU_OZAKI_MAX_GB", "3")) * (1 << 30)
+            if est_bytes > budget:
+                info(f"- Ozaki pack skipped ({est_bytes / 1e9:.1f} GB est > "
+                     "budget); refinement matvecs use the f64 CSR SpMV.")
+                self._ozP = None
+                self._oz_skipped = True
+            else:
+                from ..ops.ozaki import pack_ozaki_band_device
+                from ..utils.metrics import timed as _timed
 
-            with _timed("ozaki_pack", n=self.n, nb=int(self.fac.nb)):
-                self._ozP, _, _, _ = pack_ozaki_band_device(
-                    self._P, np.asarray(self._perm), nb=int(self.fac.nb),
-                    K=6, nbkp=int(self.fac.band_re.shape[0]),
-                    W=int(self.fac.W))
+                with _timed("ozaki_pack", n=self.n, nb=int(self.fac.nb)):
+                    self._ozP, _, _, _ = pack_ozaki_band_device(
+                        self._P, np.asarray(self._perm), nb=int(self.fac.nb),
+                        K=6, nbkp=int(self.fac.band_re.shape[0]),
+                        W=int(self.fac.W))
         k = self._L.shape[1] if self._L is not None else 0
         if k and self._cap is not None:
             wb = Woodbury(
@@ -519,7 +537,12 @@ class BandedShiftedFactor:
         if not np.isfinite(rel) or rel > 0.3:
             from ..ops.banded import factor_banded
 
-            if self.mixed:
+            # an f64 refactor doubles the band footprint — at >=200k-dof
+            # 3D scale that exceeds HBM, so cap it and lean on refinement
+            f64_bytes = 2 * 8 * int(self.fac.band_re.size)
+            f64_ok = f64_bytes <= float(os.environ.get(
+                "HELMHOLTZ_X_TPU_F64_BAND_MAX_GB", "8")) * (1 << 30)
+            if self.mixed and f64_ok:
                 info(f"! f32 banded LU unstable (probe residual {rel:.1e}); "
                      "refactoring in f64.")
                 self.mixed = False
@@ -529,6 +552,10 @@ class BandedShiftedFactor:
                 y_raw = self._raw_solve(b, False)
                 rel = float(np.linalg.norm(b - self._P @ y_raw)
                             / np.linalg.norm(b))
+            elif self.mixed:
+                info(f"! f32 banded LU weak (probe residual {rel:.1e}) and "
+                     "the f64 band exceeds the HBM budget; keeping f32 + "
+                     "extra refinement.")
             if not np.isfinite(rel) or rel > 0.3:
                 info(f"! f64 banded LU still weak (probe residual {rel:.1e}); "
                      "adding refinement sweeps.")

@@ -182,27 +182,30 @@ def _fold_orth_device(V: Z, W: np.ndarray, n: int, include_w: bool,
         out.append((Br, Bi))
     if not out:
         return np.zeros((0, n), dtype=np.complex128)
-    # FINAL Loewdin polish: the staged recombinations leave the rows
-    # orthonormal only to ~eps/stage_cut (~2e-8), which biases the Galerkin
-    # projection enough to put a ~|omega| * 2e-8 floor under |domega| — the
-    # projected FPI then oscillates above its 1e-8 stopping tolerance
-    # (observed on the MICCA device run).  One more Gram + G^{-1/2}
-    # recombination of the CONCATENATED result costs two tiny device
-    # matmuls and, because G ~ I + O(2e-8) is perfectly conditioned,
-    # restores orthonormality to ~1e-15.
+    # FINAL Loewdin polish, TWO passes: the staged recombinations leave the
+    # concatenated rows orthonormal only to ~eps/stage_cut (~2e-8) — and
+    # near-dependent directions ACROSS stages can push cond(Gram) to ~1e8,
+    # so a single G^{-1/2} recombination still carries ~eps*cond ~ 1e-8
+    # error (which biased the Galerkin pencil enough to floor |domega| at
+    # |omega|*2e-8 and, worse, to leave 1e-2-class eigenvector residuals).
+    # Loewdin iteration converges QUADRATICALLY in the orthonormality
+    # error: pass 1 clamps the near-dependent directions and reaches
+    # ~1e-8; pass 2 starts from a ~perfectly conditioned Gram and lands at
+    # ~1e-15.  Four tiny device matmuls + two (r, r) host eighs total.
     import jax.numpy as jnp
 
     Br = jnp.concatenate([br for br, _ in out], axis=0)
     Bi = jnp.concatenate([bi for _, bi in out], axis=0)
-    Gre, Gim = _gram_impl(Br, Bi)
-    G = np.asarray(Gre) + 1j * np.asarray(Gim)
-    lam, U = np.linalg.eigh((G + G.conj().T) / 2)
-    keep = lam > 1e-8 * max(float(lam[-1]), 1e-300)
-    T = U[:, keep] / np.sqrt(lam[keep])
-    Fr, Fi = _recombine_impl(Br, Bi,
-                             jnp.asarray(np.ascontiguousarray(T.real)),
-                             jnp.asarray(np.ascontiguousarray(T.imag)))
-    return np.asarray(Fr) + 1j * np.asarray(Fi)
+    for cut in (1e-8, 1e-14):
+        Gre, Gim = _gram_impl(Br, Bi)
+        G = np.asarray(Gre) + 1j * np.asarray(Gim)
+        lam, U = np.linalg.eigh((G + G.conj().T) / 2)
+        keep = lam > cut * max(float(lam[-1]), 1e-300)
+        T = U[:, keep] / np.sqrt(lam[keep])
+        Br, Bi = _recombine_impl(Br, Bi,
+                                 jnp.asarray(np.ascontiguousarray(T.real)),
+                                 jnp.asarray(np.ascontiguousarray(T.imag)))
+    return np.asarray(Br) + 1j * np.asarray(Bi)
 
 
 def _host_block_arnoldi(apply_fn, start: np.ndarray, depth: int,
