@@ -39,8 +39,34 @@ def available() -> bool:
     return _load() is not None
 
 
+_RCM_CACHE: dict = {}
+
+
 def rcm(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
-    """Reverse Cuthill-McKee ordering of a symmetric CSR adjacency graph."""
+    """Reverse Cuthill-McKee ordering of a symmetric CSR adjacency graph.
+
+    Memoized by a digest of the sparsity pattern (bounded, 4 entries):
+    every shifted factorization of a case shares one pattern, and a
+    nonlinear solve builds several factors (sigma, converged-eigenvalue
+    polish, adjoint) — each RCM recomputation costs ~1 s at 35k dofs."""
+    import hashlib
+
+    key = (len(indptr), len(indices),
+           hashlib.blake2b(np.ascontiguousarray(indptr).tobytes(),
+                           digest_size=16).hexdigest(),
+           hashlib.blake2b(np.ascontiguousarray(indices).tobytes(),
+                           digest_size=16).hexdigest())
+    hit = _RCM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    perm = _rcm_impl(indptr, indices)
+    if len(_RCM_CACHE) >= 4:
+        _RCM_CACHE.pop(next(iter(_RCM_CACHE)))
+    _RCM_CACHE[key] = perm
+    return perm
+
+
+def _rcm_impl(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
     n = len(indptr) - 1
     lib = _load()
     if lib is None:
