@@ -161,12 +161,32 @@ def bench_micca():
         detail["device_flops_per_s"] = float(f"{both / secs:.3g}")
         detail["mfu_vs_bf16_peak"] = round(both / secs / MXU_BF16_PEAK, 4)
 
-    # VERDICT round-4 item 7: driver-visible Newton + mode-sweep numbers
-    # (best-effort; never perturbs the headline value computed above).
+    out = {
+        "metric": "micca_fullannulus_fpi_direct_adjoint_wall_s",
+        "value": round(wall, 2),
+        "unit": "s",
+        "vs_baseline": round(MICCA_BASELINE_S / wall, 3),
+        "detail": detail,
+    }
+    return out, matrices, D
+
+
+def bench_extras(matrices, D, detail):
+    """VERDICT round-4 item 7: driver-visible Newton + mode-sweep
+    numbers.  Runs LAST (after every case): a device-side failure
+    here (the Newton path crashed the remote TPU worker once) must
+    not poison the secondary cases sharing the process."""
     if os.environ.get("HELMHOLTZ_X_TPU_BENCH_EXTRAS", "1") not in (
             "0", "false", "no"):
+        from helmholtz_x_tpu.solvers import linsolve
         from helmholtz_x_tpu.solvers.newton import newton_solver
 
+        # free the main solves' device band arrays (~2 GB each) and skip
+        # the Ozaki packs here: Newton/sweep factor repeatedly, and the
+        # extra ~3 GB transient per pack once crashed the remote worker
+        linsolve._recent_banded_factors.clear()
+        linsolve._recent_host_factors.clear()
+        os.environ["HELMHOLTZ_X_TPU_OZAKI"] = "0"
         try:
             D.assemble_submatrices("direct")
             t3 = time.perf_counter()
@@ -211,14 +231,6 @@ def bench_micca():
                                           "76.1 s on 8 ranks)")
         except Exception as e:
             detail["modes_sweep_error"] = f"{type(e).__name__}: {e}"[:200]
-
-    return {
-        "metric": "micca_fullannulus_fpi_direct_adjoint_wall_s",
-        "value": round(wall, 2),
-        "unit": "s",
-        "vs_baseline": round(MICCA_BASELINE_S / wall, 3),
-        "detail": detail,
-    }
 
 
 def build_rijke():
@@ -323,7 +335,7 @@ def bench_flamedduct():
 
 def main():
     try:
-        out = bench_micca()
+        out, micca_matrices, micca_D = bench_micca()
         # secondary 3D case: FlamedDuct active (rank-1 path)
         try:
             w, om, rel = bench_flamedduct()
@@ -339,6 +351,12 @@ def main():
             out["detail"]["rijke1d_vs_baseline"] = r["vs_baseline"]
         except Exception as e:  # secondary is best-effort
             out["detail"]["rijke1d_error"] = f"{type(e).__name__}: {e}"[:200]
+        # Newton + mode sweep LAST: a worker crash here must not take the
+        # secondary cases down with it
+        try:
+            bench_extras(micca_matrices, micca_D, out["detail"])
+        except Exception as e:
+            out["detail"]["extras_error"] = f"{type(e).__name__}: {e}"[:200]
     except Exception as e:
         print(f"[bench] annular case failed ({type(e).__name__}: {e}); "
               "falling back to RijkeTube1D", file=sys.stderr, flush=True)

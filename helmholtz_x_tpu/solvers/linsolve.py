@@ -703,9 +703,12 @@ def _union_bandwidth(terms, n: int) -> int:
     return int(bandwidth(coo.row.astype(np.int64), coo.col.astype(np.int64), n, perm))
 
 
-def build_shifted_factor(terms, n: int):
+def build_shifted_factor(terms, n: int, register: bool = True):
     """Factor P = sum coeff_i M_i with the tier appropriate for the size and
-    bandwidth:
+    bandwidth.  ``register=False`` keeps the factor OUT of the adjoint-reuse
+    registries (Newton's per-iteration factors are never conjugate-reused,
+    and registering them pins ~2 GB of device band arrays each across
+    iterations — measured as a TPU worker OOM crash in the bench extras):
 
     * narrow band (RCM bandwidth <= n/6) -> device block-banded f64 LU —
       the factorization is MXU-cheap and fully accurate (all 1D/2D cases and
@@ -809,8 +812,9 @@ def build_shifted_factor(terms, n: int):
                         build_shifted_factor.last_tier = "banded(adjoint-reuse)"
                         return BandedAdjointFactor(prev, P, terms=terms)
             factor = BandedShiftedFactor(P, terms=terms)
-            _recent_banded_factors.append(factor)
-            del _recent_banded_factors[:-2]  # bound memory: keep 2 newest
+            if register:
+                _recent_banded_factors.append(factor)
+                del _recent_banded_factors[:-2]  # bound memory: keep 2 newest
             # geometry breadcrumb for solve-level FLOP/MFU accounting
             # (bench.py detail; utils/flops.py formulas)
             build_shifted_factor.last_geometry = (
@@ -840,6 +844,7 @@ def build_shifted_factor(terms, n: int):
                     build_shifted_factor.last_tier = "host(adjoint-reuse)"
                     return HostAdjointFactor(prev, P)
         factor = SparseShiftedFactor(P)
-        _recent_host_factors.append(factor)
-        del _recent_host_factors[:-2]  # bound memory: keep 2 newest
+        if register:
+            _recent_host_factors.append(factor)
+            del _recent_host_factors[:-2]  # bound memory: keep 2 newest
         return factor

@@ -63,7 +63,10 @@ def newton_solver(operators, D, init: complex, nev: int = 2, i: int = 0,
         terms = [(1.0, A), (omega**2, C)]
         if B is not None:
             terms.insert(1, (omega, B))
-        factor = build_shifted_factor(terms, C.n)
+        # register=False: successive omega_k factors are never
+        # conjugate-reused, and pinning them in the reuse registry holds
+        # ~2 GB of device band arrays each across Newton iterations
+        factor = build_shifted_factor(terms, C.n, register=False)
         factor.set_lowrank_factors(L, R, two_sided=True)
         factor.set_scale(sc)
         # eps_solver solves A' x = lam (-C_arg) x; pass -C to get L p = lam C p
