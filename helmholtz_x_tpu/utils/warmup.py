@@ -55,6 +55,7 @@ def start_device_warmup() -> None:
         if _state["started"]:
             return
         _state["started"] = True
+        _state["t_start"] = time.monotonic()
     threading.Thread(target=_bind, daemon=True, name="hx-device-warmup").start()
 
 
@@ -98,6 +99,20 @@ def bind_seconds() -> float | None:
 
 
 def cold_start_policy() -> float:
-    """Seconds a solver should wait for a cold device before degrading to
-    the host tier (HELMHOLTZ_X_TPU_DEVICE_WAIT_S, default 10)."""
-    return float(os.environ.get("HELMHOLTZ_X_TPU_DEVICE_WAIT_S", "10"))
+    """Seconds a solver should still wait for a cold device before
+    degrading to the host tier.
+
+    The budget (HELMHOLTZ_X_TPU_DEVICE_WAIT_S, default 25) counts from
+    the WARM-UP START, not from the solver's call: a healthy bind takes
+    5-11 s and host-side setup overlaps it, so by factor time the bind is
+    normally done and the residual wait is ~zero; a bind still pending
+    tens of seconds in means a server-side session hold (measured
+    170-600 s) and waiting longer only stalls the degraded run.  (The old
+    fixed 10 s FROM CALL TIME both stacked avoidable waits onto degraded
+    runs and sat within measurement noise of the healthy 10.6 s bind.)"""
+    budget = float(os.environ.get("HELMHOLTZ_X_TPU_DEVICE_WAIT_S", "25"))
+    with _cv:
+        t0 = _state.get("t_start")
+    if t0 is None:
+        return budget
+    return max(2.0, budget - (time.monotonic() - t0))
