@@ -181,12 +181,18 @@ def bench_extras(matrices, D, detail):
         from helmholtz_x_tpu.solvers import linsolve
         from helmholtz_x_tpu.solvers.newton import newton_solver
 
-        # free the main solves' device band arrays (~2 GB each) and skip
-        # the Ozaki packs here: Newton/sweep factor repeatedly, and the
-        # extra ~3 GB transient per pack once crashed the remote worker
+        # free the main solves' device band arrays, then run Newton and the
+        # sweep on the HOST tier: their repeated-factorization patterns
+        # (per-iteration shifts; vmapped multi-target bands) crashed the
+        # remote TPU worker twice (server-side, diagnostics unavailable)
+        # even with the Ozaki packs disabled and the reuse registry
+        # cleared.  Host numbers are still solver-parity metrics (the
+        # reference's own Newton/sweep baselines are CPU numbers).
         linsolve._recent_banded_factors.clear()
         linsolve._recent_host_factors.clear()
-        os.environ["HELMHOLTZ_X_TPU_OZAKI"] = "0"
+        saved_tier = linsolve.SPARSE_TIER
+        linsolve.SPARSE_TIER = "host"
+        os.environ["HELMHOLTZ_X_TPU_SWEEP"] = "sequential"
         try:
             D.assemble_submatrices("direct")
             t3 = time.perf_counter()
@@ -231,6 +237,8 @@ def bench_extras(matrices, D, detail):
                                           "76.1 s on 8 ranks)")
         except Exception as e:
             detail["modes_sweep_error"] = f"{type(e).__name__}: {e}"[:200]
+        finally:
+            linsolve.SPARSE_TIER = saved_tier
 
 
 def build_rijke():
