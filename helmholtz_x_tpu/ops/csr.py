@@ -76,18 +76,37 @@ def csr_empty(n: int) -> CSR:
     )
 
 
-def csr_device(A: CSR) -> CSR:
-    """Explicit one-time host->device transfer of a host-built CSR.
+# Device copies memoized per host CSR object: a nonlinear solve hands the
+# SAME A/B/C arrays to several factorizations (sigma factor, finalize
+# factor, adjoint) and each re-upload costs ~1 s of tunnel traffic for the
+# 3D operators.  Keyed by the identity of the host data buffer, with a
+# strong reference kept so the id cannot be recycled; bounded FIFO.
+_DEV_CACHE: dict = {}
 
-    Solvers call this ONCE per factorization/basis build and thread the
-    returned pytree through every jitted dispatch, so the operator crosses
-    the host<->device link a single time."""
-    return CSR(
+
+def csr_device(A: CSR) -> CSR:
+    """Host->device transfer of a host-built CSR, memoized per host object.
+
+    Solvers call this per factorization/basis build and thread the returned
+    pytree through every jitted dispatch; the memo makes repeated calls on
+    the same host operator free."""
+    if isinstance(A.data.re, jnp.ndarray) and not isinstance(
+            A.data.re, np.ndarray):
+        return A  # already device-resident
+    key = (id(A.data.re), A.n, A.nnz)
+    hit = _DEV_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    dev = CSR(
         indptr=jnp.asarray(A.indptr),
         indices=jnp.asarray(A.indices),
         rows=jnp.asarray(A.rows),
         data=Z(jnp.asarray(A.data.re), jnp.asarray(A.data.im)),
     )
+    if len(_DEV_CACHE) >= 8:
+        _DEV_CACHE.pop(next(iter(_DEV_CACHE)))
+    _DEV_CACHE[key] = (dev, A.data.re)
+    return dev
 
 
 def csr_from_scipy(mat) -> CSR:

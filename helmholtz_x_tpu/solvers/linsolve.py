@@ -596,11 +596,57 @@ class BandedShiftedFactor:
     def solve_P_H(self, b) -> np.ndarray:
         return self._solve_refined(b, True)
 
+    def solve_P_fused(self, b: np.ndarray, nrefine: int = 6) -> np.ndarray:
+        """P^{-1} b for a multi-RHS block as ONE device dispatch:
+        substitution + `nrefine` refinement sweeps against the exact CSR
+        operator, fused (arnoldi._solve_wbb with zero-width Woodbury).
+
+        The host-driven `solve_P` pays a tunnel roundtrip per sweep (and
+        the lazy stability probe) — ~8-10 roundtrips for a refined 16-RHS
+        solve, measured as the bulk of the finalize recovery's ~11 s.  The
+        Ozaki pack is skipped (CSR f64 SpMV refinement is ~50-100 ms at
+        this width and needs no ~0.5 GB pack)."""
+        import jax.numpy as _jnp
+
+        saved = os.environ.get("HELMHOLTZ_X_TPU_OZAKI")
+        os.environ["HELMHOLTZ_X_TPU_OZAKI"] = "0"
+        try:
+            sv = self.solve_op()
+        finally:
+            if saved is None:
+                os.environ.pop("HELMHOLTZ_X_TPU_OZAKI", None)
+            else:
+                os.environ["HELMHOLTZ_X_TPU_OZAKI"] = saved
+        b = np.asarray(b, dtype=np.complex128)
+        z = _fused_wbb(sv, Z(_jnp.asarray(b.real), _jnp.asarray(b.imag)),
+                       getattr(self, "herm_factor", False), nrefine)
+        return np.asarray(z.re) + 1j * np.asarray(z.im)
+
     # Woodbury state handling identical to the host tier
     set_lowrank_factors = SparseShiftedFactor.set_lowrank_factors
     set_scale = SparseShiftedFactor.set_scale
     solve_wb = SparseShiftedFactor.solve_wb
     solve_wb_H = SparseShiftedFactor.solve_wb_H
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=4)
+def _fused_wbb_jit(herm: bool):
+    """Cached jit of the substitution+refinement solve (one wrapper per
+    Hermitian-ness; jit's own cache handles shape variation).  Imported
+    lazily to avoid the linsolve <-> arnoldi import cycle."""
+    import jax as _jax
+
+    from .arnoldi import _solve_wbb, _solve_wbb_T
+
+    return _jax.jit(_solve_wbb_T if herm else _solve_wbb,
+                    static_argnames=("nrefine",))
+
+
+def _fused_wbb(sv, b: Z, herm: bool, nrefine: int) -> Z:
+    return _fused_wbb_jit(herm)(sv, b, nrefine)
 
 
 class BandedAdjointFactor(BandedShiftedFactor):

@@ -403,11 +403,17 @@ def _device_block_basis(factor, pencil, sigma: complex, mode: str,
     depth = max(2, -(-m // k))
     Lz = Z(jnp.asarray(np.ascontiguousarray(L.real)),
            jnp.asarray(np.ascontiguousarray(L.imag)))
+    from ..utils.metrics import record as _record
+    import time as _time
+
     if _split_basis(n_op):
+        _t0 = _time.perf_counter()
         V, W = _block_seed_impl(op, Lz, sig, mode, nrefine,
                                 (depth + 1) * k, n_op, k)
-        from ..utils.metrics import record as _record
-        import time as _time
+        import jax as _jax
+
+        _jax.block_until_ready(V.re)
+        _record("basis_seed", wall_s=round(_time.perf_counter() - _t0, 3))
 
         # PIPELINED dispatch: every block step is enqueued back-to-back
         # WITHOUT forcing its (mass, surv) scalars — behind the remote-TPU
@@ -451,7 +457,9 @@ def _device_block_basis(factor, pencil, sigma: complex, mode: str,
             V = Z(V.re[:rows_keep], V.im[:rows_keep])
     else:
         V, W = _block_basis_impl(op, Lz, sig, mode, nrefine, depth, n_op, k)
+    _t0 = _time.perf_counter()
     Wnp = np.asarray(W.re) + 1j * np.asarray(W.im)
+    _record("basis_w_readback", wall_s=round(_time.perf_counter() - _t0, 3))
     return V, Wnp  # V stays device-resident; callers fold/orth there
 
 
@@ -585,13 +593,16 @@ def build_basis(factor, A, B, C, L: np.ndarray, R: np.ndarray,
         if not np.isfinite(relW) or relW > 1e-3:
             info(f"! factor health check failed (W residual {relW:.1e}).")
             return None
+        from ..utils.metrics import timed as _timed
+
         if eps_kind:
             # SVD cleanup: with redundant flame columns the device block
             # orthonormalization returns rows whose Gram is a projector
             # (rank-deficient), not exact zeros — re-orthonormalize on host.
             rows = np.asarray(Vdev.re) + 1j * np.asarray(Vdev.im)
             return _orth_rows(rows)
-        return _fold_basis(Vdev, W, C.n, include_w=True)
+        with _timed("basis_fold"):
+            return _fold_basis(Vdev, W, C.n, include_w=True)
 
     W = np.asarray(factor.solve_P(L)) if backend == "host" \
         else np.stack([_solve_np(factor, L[:, j]) for j in range(k)], axis=1)
@@ -939,6 +950,13 @@ def finalize_projected(proj: ProjectedPencil, A, B, C, L, R, lam, Y, iters,
             factor2 = build_shifted_factor(terms2, A.n)
 
             def _solve2(Bm):
+                import jax as _jax
+
+                if (hasattr(factor2, "solve_P_fused")
+                        and _jax.default_backend() != "cpu"):
+                    # one dispatch for substitution + refinement — the
+                    # host-driven path pays ~8-10 tunnel roundtrips here
+                    return factor2.solve_P_fused(Bm)
                 if isinstance(factor2, ShiftedFactor):
                     return np.stack([_solve_np(factor2, Bm[:, j])
                                      for j in range(Bm.shape[1])], axis=1)
