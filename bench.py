@@ -37,6 +37,9 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# log WHY any tracing/compile-cache miss happened (stderr) — remote AOT
+# misses cost minutes each here, so silent misses are undebuggable
+jax.config.update("jax_explain_cache_misses", True)
 
 from helmholtz_x_tpu.utils.warmup import (bind_seconds, device_ready,
                                           start_device_warmup)

@@ -390,6 +390,12 @@ class BandedShiftedFactor:
         from ..native import bandwidth, rcm
         from ..ops.banded import banded_solve, banded_solve_H, factor_banded
 
+        if nb is None and os.environ.get("HELMHOLTZ_X_TPU_NB"):
+            # block-size override: at >=200k dofs the nb=256 f32 band
+            # (6.2 GB) leaves no HBM headroom on a single chip; nb=128
+            # hugs the band tighter (~5.5 GB) at 2x the substitution steps
+            nb = int(os.environ["HELMHOLTZ_X_TPU_NB"])
+
         a = sp.csr_matrix(P_scipy)
         pattern = sp.csr_matrix(
             (np.ones(a.nnz), a.indices, a.indptr), shape=a.shape)
@@ -723,11 +729,19 @@ _recent_banded_factors: list = []
 # (the banded factor is MXU-shaped; on CPU SuperLU is the faster oracle).
 SPARSE_TIER = __import__("os").environ.get("HELMHOLTZ_X_TPU_SPARSE_TIER", "auto")
 
-# Below this many dofs a remote accelerator loses to the host sparse-direct
-# tier on round-trip latency alone (measured: the 3k-dof Rijke tube runs
-# ~1 s via host SuperLU vs 16.8 s through the tunnel), so 'auto' keeps
-# small problems entirely on host.
-HOST_SMALL_N = int(__import__("os").environ.get("HELMHOLTZ_X_TPU_HOST_SMALL_N", 6000))
+# Below this many dofs the remote accelerator loses to the host
+# sparse-direct tier, so 'auto' keeps such problems entirely on host (no
+# device wait, no tunnel traffic).  Measured crossover on the reference
+# rig (one TPU v5e behind an HTTP relay, 0.4-3 s roundtrips, 2 CPU
+# cores): the 3k-dof Rijke tube runs ~1 s host vs 16.8 s tunneled, and
+# at 34.8k dofs (MICCA annulus) the warm banded device solve costs ~60 s
+# against SuperLU's ~16 s — the block-banded substitution is a SEQUENTIAL
+# scan over ~2n/nb block rows whose per-step latency dwarfs its tiny
+# matmuls, so the device only wins once the FACTORIZATION dominates
+# (measured at 231k dofs: host factor 418 s).  On a locally-attached
+# accelerator lower this knob; the sequential-substitution floor is the
+# documented next optimization (cyclic reduction / SPIKE).
+HOST_SMALL_N = int(__import__("os").environ.get("HELMHOLTZ_X_TPU_HOST_SMALL_N", 60000))
 
 
 def _union_bandwidth(terms, n: int) -> int:

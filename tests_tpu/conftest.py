@@ -24,6 +24,10 @@ import pathlib
 import pytest
 
 os.environ.setdefault("HELMHOLTZ_X_TPU_DEVICE_WAIT_S", "1200")
+# the production auto-tier routes sub-60k-dof problems to the host
+# (measured tunnel crossover, solvers/linsolve.HOST_SMALL_N); this lane's
+# purpose is gating the DEVICE tiers, so disable that routing here
+os.environ.setdefault("HELMHOLTZ_X_TPU_HOST_SMALL_N", "0")
 
 import jax
 
