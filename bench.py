@@ -225,8 +225,16 @@ def bench_extras(matrices, D, detail):
                 11000.0: 10820.855924 + 346.966028j,
             }
             t4 = time.perf_counter()
-            res = sweep_targets(matrices, D, sorted(expected), nev=4, i=0,
-                                tol=1e-8)
+            # depth-4 basis (m=64): the depth-3 default suffices AT the
+            # flame target but rejects at several of the six off-target
+            # frequencies, dumping those solves onto the exact fallback
+            # path (measured 490 s vs 118 s for the full sweep)
+            os.environ["HELMHOLTZ_X_TPU_PROJ_M"] = "64"
+            try:
+                res = sweep_targets(matrices, D, sorted(expected), nev=4,
+                                    i=0, tol=1e-8, m=64)
+            finally:
+                os.environ.pop("HELMHOLTZ_X_TPU_PROJ_M", None)
             w_s = time.perf_counter() - t4
             for t, E in res.items():
                 om = np.sqrt(E.getEigenvalue(0)) if E.kind == "eps" \
