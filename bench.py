@@ -42,10 +42,18 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_explain_cache_misses", True)
 
 from helmholtz_x_tpu.utils.warmup import (bind_seconds, device_ready,
-                                          start_device_warmup)
+                                          warmup_started)
 
-start_device_warmup()  # overlap the (possibly minutes-long) session bind
-                       # with every bit of host-side setup below
+# NOTE: the eager device warm-up was removed in round 5.  Every case this
+# bench runs sits below the measured host/device crossover
+# (linsolve.HOST_SMALL_N = 60k dofs), so the solver never consults the
+# device — and an eagerly-pending session claim is pure risk: while the
+# axon client waits out a server-side hold it starves the host CPU
+# (measured: the 2.1 s assembly stretched to 72.8 s with a claim
+# pending), and a claim still unresolved at exit poisons the NEXT
+# process's bind.  Solvers above the crossover start the claim lazily
+# via utils/warmup (bench_scale.py keeps the eager warm-up: its 231k-dof
+# case genuinely uses the device).
 
 import numpy as np
 
@@ -112,7 +120,9 @@ def bench_micca():
 
     detail = {"n": matrices.A.n, "backend": jax.default_backend(),
               "setup_s": round(t_setup, 2), "setup_stages": stages,
-              "device_ready_at_solve": device_ready()}
+              # device_ready() STARTS a session claim as a side effect —
+              # only consult it when something already initiated one
+              "device_ready_at_solve": warmup_started() and device_ready()}
     walls = {}
     from helmholtz_x_tpu.solvers.linsolve import build_shifted_factor
 
@@ -381,6 +391,8 @@ def main():
               "falling back to RijkeTube1D", file=sys.stderr, flush=True)
         out = bench_rijke()
     print(json.dumps(out), flush=True)
+    if not warmup_started():
+        sys.exit(0)  # never touched the device: nothing to release
     if device_ready():
         # clean teardown releases the remote device session (otherwise the
         # NEXT process waits out a server-side hold of several minutes)

@@ -59,6 +59,12 @@ def start_device_warmup() -> None:
     threading.Thread(target=_bind, daemon=True, name="hx-device-warmup").start()
 
 
+def warmup_started() -> bool:
+    """Whether a session claim was ever initiated (no side effects)."""
+    with _cv:
+        return bool(_state["started"])
+
+
 def device_ready() -> bool:
     """True once the first device round trip has completed successfully.
     Never blocks.  If the warm-up was never started, starts it (so callers
