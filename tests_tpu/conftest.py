@@ -58,6 +58,19 @@ def device():
     return jax.devices()[0]
 
 
+@pytest.fixture(autouse=True)
+def _release_device_factors():
+    """Free each test's device band arrays (~2 GB per factor plus Ozaki
+    packs) before the next: the adjoint-reuse registry otherwise pins the
+    MICCA factors across tests and the FlamedDuct factorization then hits
+    the single-chip HBM ceiling."""
+    yield
+    from helmholtz_x_tpu.solvers import linsolve
+
+    linsolve._recent_banded_factors.clear()
+    linsolve._recent_host_factors.clear()
+
+
 @pytest.fixture(scope="session")
 def record_gate():
     """Append a gate record to the JSONL artifact."""
